@@ -1,0 +1,88 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from two_stage_object_detection_tpu.ops.roi_pool import roi_align, roi_pool
+
+
+def naive_roi_pool(feat, rois, p, scale):
+    """Direct numpy transcription of torchvision RoIPool max semantics.
+
+    Bin edges via exact integer arithmetic (the rounded roi coords are
+    integers), matching the framework's deterministic edge convention.
+    """
+    h, w, c = feat.shape
+    out = np.zeros((len(rois), p, p, c), np.float32)
+    for r, roi in enumerate(rois):
+        x1, y1, x2, y2 = (int(v) for v in np.round(roi.astype(np.float32) * np.float32(scale)))
+        rw = max(x2 - x1, 1)
+        rh = max(y2 - y1, 1)
+        for ph in range(p):
+            for pw in range(p):
+                hs = int(np.clip(ph * rh // p + y1, 0, h))
+                he = int(np.clip(-((ph + 1) * rh // -p) + y1, 0, h))
+                ws = int(np.clip(pw * rw // p + x1, 0, w))
+                we = int(np.clip(-((pw + 1) * rw // -p) + x1, 0, w))
+                if he > hs and we > ws:
+                    out[r, ph, pw] = feat[hs:he, ws:we].max(axis=(0, 1))
+    return out
+
+
+def test_roi_pool_matches_naive(rng):
+    feat = rng.randn(38, 38, 8).astype(np.float32)
+    rois = rng.rand(16, 4).astype(np.float32) * 500
+    rois[:, 2:] = rois[:, :2] + rng.rand(16, 2).astype(np.float32) * 100 + 20
+    got = np.asarray(roi_pool(jnp.array(feat), jnp.array(rois), 7, 1.0 / 16))
+    want = naive_roi_pool(feat, rois, 7, 1.0 / 16)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_roi_pool_small_roi():
+    """A sub-pixel roi still produces a full 7x7 output (size clamp to 1)."""
+    feat = np.arange(10 * 10, dtype=np.float32).reshape(10, 10, 1)
+    rois = np.array([[3.0, 3.0, 3.2, 3.2]], np.float32)
+    got = np.asarray(roi_pool(jnp.array(feat), jnp.array(rois), 7, 1.0))
+    assert got.shape == (1, 7, 7, 1)
+    assert np.isfinite(got).all()
+    want = naive_roi_pool(feat, rois, 7, 1.0)
+    np.testing.assert_allclose(got, want)
+
+
+def test_roi_pool_out_of_bounds_roi():
+    feat = np.ones((10, 10, 2), np.float32)
+    rois = np.array([[-20.0, -20.0, -5.0, -5.0]], np.float32)  # fully outside
+    got = np.asarray(roi_pool(jnp.array(feat), jnp.array(rois), 7, 1.0))
+    np.testing.assert_allclose(got, 0.0)  # empty bins -> 0
+
+
+def test_roi_align_constant_field(rng):
+    """Bilinear sampling of a constant map returns the constant."""
+    feat = np.full((20, 20, 3), 2.5, np.float32)
+    rois = rng.rand(5, 4).astype(np.float32) * 15
+    rois[:, 2:] = rois[:, :2] + 3
+    got = np.asarray(roi_align(jnp.array(feat), jnp.array(rois), 7, 1.0))
+    np.testing.assert_allclose(got, 2.5, rtol=1e-5)
+
+
+def test_roi_align_linear_field():
+    """Bilinear sampling reproduces a linear ramp exactly (interior rois)."""
+    h = w = 30
+    xs = np.arange(w, dtype=np.float32)
+    feat = np.broadcast_to(xs[None, :, None], (h, w, 1)).copy()
+    rois = np.array([[5.0, 5.0, 15.0, 15.0]], np.float32)
+    got = np.asarray(roi_align(jnp.array(feat), jnp.array(rois), 4, 1.0, sampling_ratio=2))
+    # bin k center-of-mass x = 5 + (k + .5) * 2.5 averaged over samples
+    bw = 10.0 / 4
+    want_x = 5.0 + (np.arange(4) + 0.5) * bw
+    np.testing.assert_allclose(got[0, 0, :, 0], want_x, rtol=1e-5)
+
+
+def test_roi_ops_vmap(rng):
+    feats = rng.randn(2, 19, 19, 4).astype(np.float32)
+    rois = rng.rand(2, 8, 4).astype(np.float32) * 200
+    rois[..., 2:] = rois[..., :2] + 50
+    batched = jax.vmap(lambda f, r: roi_pool(f, r, 7, 1.0 / 16))(
+        jnp.array(feats), jnp.array(rois))
+    single = np.stack([np.asarray(roi_pool(jnp.array(feats[i]), jnp.array(rois[i]), 7, 1.0 / 16))
+                       for i in range(2)])
+    np.testing.assert_allclose(np.asarray(batched), single, rtol=1e-5)

@@ -1,0 +1,138 @@
+"""Single-source configuration.
+
+The reference scatters configuration over a flat ``configs/config.json`` read
+independently at import time by five modules (reference ``configs/config.json:1-11``,
+``nets/rpn.py:11-15``, ``dataset/dataloader.py:12-21``, ...) plus hard-coded
+constants in drivers.  Here everything lives in one frozen dataclass that is
+loaded once and passed explicitly; the public JSON file format (same keys) is
+still accepted by :func:`load_config`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Sequence, Tuple
+
+# Public JSON keys kept compatible with the reference configs/config.json.
+_JSON_KEYS = (
+    "num_epochs",
+    "lr",
+    "train_ratio",
+    "eval_ratio",
+    "device",
+    "num_workers",
+    "prefetch_factor",
+    "persistent_workers",
+    "batch_size",
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """All framework hyper-parameters (training recipe + network contract)."""
+
+    # ---- public config.json surface (reference configs/config.json) ----
+    num_epochs: int = 2
+    lr: float = 1e-3
+    train_ratio: float = 0.0001
+    eval_ratio: float = 0.001
+    device: str = "tpu"
+    num_workers: int = 12
+    prefetch_factor: int = 8
+    persistent_workers: bool = True
+    batch_size: int = 16
+
+    # ---- network contract (reference train/train.py:18-21, nets/rpn.py:21-26) ----
+    num_classes: int = 80          # foreground classes; background adds +1
+    input_size: Tuple[int, int] = (600, 600)        # (H, W)
+    feat_stride: int = 16
+    anchor_base_size: int = 8
+    anchor_ratios: Sequence[float] = (0.5, 1.0, 2.0)
+    anchor_scales: Sequence[float] = (8.0, 16.0, 32.0)
+
+    # proposal generation (reference nets/rpn.py:21-26)
+    rpn_nms_iou: float = 0.7
+    n_train_pre_nms: int = 12000
+    n_train_post_nms: int = 600
+    n_test_pre_nms: int = 3000
+    n_test_post_nms: int = 300
+    proposal_min_size: float = 16.0
+
+    # target assignment (reference nets/frcnn_training.py:23,114)
+    rpn_n_sample: int = 256
+    rpn_pos_iou_thresh: float = 0.7
+    rpn_neg_iou_thresh: float = 0.3
+    rpn_pos_ratio: float = 0.5
+    roi_n_sample: int = 128
+    roi_pos_ratio: float = 0.5
+    roi_pos_iou_thresh: float = 0.5
+    roi_neg_iou_thresh_high: float = 0.5
+    roi_neg_iou_thresh_low: float = 0.0
+    loc_normalize_std: Tuple[float, float, float, float] = (0.1, 0.1, 0.2, 0.2)
+
+    # head (reference nets/classify.py:17, nets/frcnn_training.py:213-217)
+    roi_size: int = 7
+    backbone: str = "hardnet39"    # hardnet39|hardnet68|hardnet85|resnet34|resnet50|resnet101|resnext50
+    backbone_channels: int = 512   # channels of the shared feature map
+
+    # losses (reference nets/frcnn_training.py:198-199, train/train.py:86-92)
+    rpn_sigma: float = 1.0
+    roi_sigma: float = 1.0
+    grad_accum_steps: int = 32
+    weight_decay: float = 1e-4
+    cosine_t_max: int = 5
+
+    # data pipeline
+    max_gt_boxes: int = 100        # static padding of per-image GT boxes
+
+    # TPU execution
+    compute_dtype: str = "bfloat16"   # conv/matmul compute dtype; params stay f32
+    mesh_data_axis: str = "data"
+    mesh_model_axis: str = "model"
+
+    @property
+    def n_anchors_per_cell(self) -> int:
+        return len(self.anchor_ratios) * len(self.anchor_scales)
+
+    @property
+    def feat_size(self) -> Tuple[int, int]:
+        """Feature-map (H, W): stride-16 conv chain on a 600x600 input -> 38x38.
+
+        (ceil division per stride-2 conv with k=3 p=1: 600->300->150->75->38;
+        the reference's comments claim 37x37 but the real torch shapes are 38x38.)
+        """
+        h, w = self.input_size
+        for _ in range(4):
+            h = (h + 1) // 2
+            w = (w + 1) // 2
+        return (h, w)
+
+    @property
+    def num_anchors(self) -> int:
+        fh, fw = self.feat_size
+        return fh * fw * self.n_anchors_per_cell
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def load_config(path: str | None = None, **overrides) -> Config:
+    """Load a :class:`Config`, optionally merging a reference-format JSON file."""
+    kw = {}
+    if path is None:
+        default = os.path.join(os.path.dirname(os.path.dirname(__file__)), "configs", "config.json")
+        path = default if os.path.exists(default) else None
+    if path is not None:
+        with open(path, "r") as f:
+            raw = json.load(f)
+        for k in _JSON_KEYS:
+            if k in raw:
+                kw[k] = raw[k]
+        # allow extended keys in the JSON too
+        for k, v in raw.items():
+            if k not in _JSON_KEYS and k in {f.name for f in dataclasses.fields(Config)}:
+                kw[k] = v
+    kw.update(overrides)
+    return Config(**kw)

@@ -1,0 +1,148 @@
+"""Static-shape RoI pooling / RoI align for TPU.
+
+Replaces the reference's ``torchvision.ops.RoIPool`` native kernel
+(``nets/classify.py:17,43``).  Two implementations:
+
+* :func:`roi_pool` — max pooling with torchvision RoIPool semantics
+  (rounded integer rois, floor/ceil adaptive bins, empty bin -> 0), expressed
+  as a *separable masked max*: bin windows are axis-aligned ranges, so
+  ``max over bin = max over rows of (max over cols)`` — two dense masked
+  reductions, no gathers, pure VPU work.
+* :func:`roi_align` — bilinear-sampled average pooling (the standard
+  higher-quality op), expressed as 4 gathers per sample point.
+
+Both operate on a single image's ``[H, W, C]`` feature map with ``[R, 4]``
+rois in feature-map coordinates scaled by ``spatial_scale``; batch dimensions
+are added by ``jax.vmap`` at the call site (which also removes the
+reference's batch-index/expand bookkeeping, ``nets/classify.py:38``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def _bin_edges_pool(lo: jnp.ndarray, hi: jnp.ndarray, pooled: int):
+    """torchvision RoIPool bin ranges along one axis.
+
+    Computed with exact integer arithmetic (``floor(p*size/P) == p*size // P``
+    since the rounded roi coordinates are integers) — deterministic where the
+    float kernel's ``ceil((p+1)*bin_size)`` is half-ulp compiler-dependent.
+
+    Args:
+      lo, hi: ``[R]`` rounded-integral roi start/end.
+      pooled: number of output bins ``P``.
+
+    Returns:
+      ``(start, end)`` each ``[R, pooled]`` float bin boundaries
+      (start inclusive, end exclusive), un-clamped.
+    """
+    lo_i = lo.astype(jnp.int32)
+    size = jnp.maximum(hi.astype(jnp.int32) - lo_i, 1)  # [R]
+    p = jnp.arange(pooled, dtype=jnp.int32)
+    start = (p[None, :] * size[:, None]) // pooled + lo_i[:, None]
+    end = ((p[None, :] + 1) * size[:, None] + pooled - 1) // pooled + lo_i[:, None]
+    return start.astype(jnp.float32), end.astype(jnp.float32)
+
+
+def roi_pool(features: jnp.ndarray, rois: jnp.ndarray, output_size: int = 7,
+             spatial_scale: float = 1.0) -> jnp.ndarray:
+    """Max RoI pooling, torchvision semantics, static shapes.
+
+    Args:
+      features: ``[H, W, C]`` feature map.
+      rois: ``[R, 4]`` xyxy boxes (multiplied by ``spatial_scale`` to reach
+        feature coordinates).
+      output_size: pooled spatial size ``P``.
+
+    Returns:
+      ``[R, P, P, C]`` pooled features (empty bins are 0).
+    """
+    h, w, _ = features.shape
+    p = output_size
+    r = jnp.round(rois.astype(jnp.float32) * spatial_scale)
+    x1, y1, x2, y2 = r[:, 0], r[:, 1], r[:, 2], r[:, 3]
+
+    xs, xe = _bin_edges_pool(x1, x2, p)                 # [R, P]
+    ys, ye = _bin_edges_pool(y1, y2, p)
+
+    xs = jnp.clip(xs, 0, w)
+    xe = jnp.clip(xe, 0, w)
+    ys = jnp.clip(ys, 0, h)
+    ye = jnp.clip(ye, 0, h)
+
+    cols = jnp.arange(w, dtype=jnp.float32)
+    rows = jnp.arange(h, dtype=jnp.float32)
+    col_mask = (cols[None, None, :] >= xs[:, :, None]) & (cols[None, None, :] < xe[:, :, None])  # [R, P, W]
+    row_mask = (rows[None, None, :] >= ys[:, :, None]) & (rows[None, None, :] < ye[:, :, None])  # [R, P, H]
+
+    # stage 1: masked max over W -> [R, Pw, H, C]
+    f = features[None, None]                            # [1, 1, H, W, C]
+    cm = col_mask[:, :, None, :, None]                  # [R, Pw, 1, W, 1]
+    stage1 = jnp.max(jnp.where(cm, f, NEG_INF), axis=3)  # [R, Pw, H, C]
+
+    # stage 2: masked max over H -> [R, Ph, Pw, C]
+    rm = row_mask[:, :, None, :, None]                  # [R, Ph, 1, H, 1]
+    pooled = jnp.max(jnp.where(rm, stage1[:, None], NEG_INF), axis=3)  # [R, Ph, Pw, C]
+
+    empty = (pooled <= NEG_INF / 2)
+    return jnp.where(empty, 0.0, pooled)
+
+
+def roi_align(features: jnp.ndarray, rois: jnp.ndarray, output_size: int = 7,
+              spatial_scale: float = 1.0, sampling_ratio: int = 2,
+              aligned: bool = False) -> jnp.ndarray:
+    """Bilinear RoI align (average over ``sampling_ratio**2`` samples/bin).
+
+    Args:
+      features: ``[H, W, C]``.
+      rois: ``[R, 4]`` xyxy boxes.
+      output_size: pooled size ``P``.
+      sampling_ratio: samples per bin per axis.
+      aligned: if True, apply the half-pixel offset correction.
+
+    Returns:
+      ``[R, P, P, C]``.
+    """
+    h, w, c = features.shape
+    p, s = output_size, sampling_ratio
+    off = 0.5 if aligned else 0.0
+    r = rois.astype(jnp.float32) * spatial_scale - off
+    x1, y1 = r[:, 0], r[:, 1]
+    roi_w = jnp.maximum(r[:, 2] - r[:, 0], 1.0)
+    roi_h = jnp.maximum(r[:, 3] - r[:, 1], 1.0)
+    bin_w = roi_w / p                                  # [R]
+    bin_h = roi_h / p
+
+    # sample grid: for bin i, samples at (i + (k + .5)/s) * bin
+    grid = (jnp.arange(p)[:, None] + (jnp.arange(s)[None, :] + 0.5) / s).reshape(-1)  # [P*S]
+    sx = x1[:, None] + grid[None, :] * bin_w[:, None]   # [R, P*S]
+    sy = y1[:, None] + grid[None, :] * bin_h[:, None]
+
+    def bilinear(coords_y, coords_x):
+        """coords: [R, Ny], [R, Nx] -> [R, Ny, Nx, C] bilinear samples."""
+        cy = jnp.clip(coords_y, 0.0, h - 1.0)
+        cx = jnp.clip(coords_x, 0.0, w - 1.0)
+        y0 = jnp.floor(cy).astype(jnp.int32)
+        x0 = jnp.floor(cx).astype(jnp.int32)
+        y1i = jnp.minimum(y0 + 1, h - 1)
+        x1i = jnp.minimum(x0 + 1, w - 1)
+        wy = (cy - y0)[:, :, None, None]                # [R, Ny, 1, 1]
+        wx = (cx - x0)[:, None, :, None]                # [R, 1, Nx, 1]
+
+        def gather(yi, xi):
+            # [R, Ny] x [R, Nx] -> [R, Ny, Nx, C]
+            return features[yi[:, :, None], xi[:, None, :]]
+
+        v00 = gather(y0, x0)
+        v01 = gather(y0, x1i)
+        v10 = gather(y1i, x0)
+        v11 = gather(y1i, x1i)
+        return (v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx +
+                v10 * wy * (1 - wx) + v11 * wy * wx)
+
+    samples = bilinear(sy, sx)                          # [R, P*S, P*S, C]
+    samples = samples.reshape(-1, p, s, p, s, c)
+    return samples.mean(axis=(2, 4))                    # [R, P, P, C]
