@@ -2,7 +2,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from two_stage_object_detection_tpu.ops.nms import nms, nms_padded
+from two_stage_object_detection_tpu.ops.nms import (
+    nms, nms_keep_mask_sorted, nms_padded)
 
 
 def naive_nms(boxes, scores, thresh):
@@ -82,6 +83,18 @@ def test_nms_padded_contract(rng):
     assert n_kept == len(naive_nms(boxes, scores, 0.5))
     # padding rows are zero
     np.testing.assert_allclose(np.asarray(out_boxes2)[n_kept:], 0.0)
+
+
+def test_tiled_keep_mask_matches_naive(rng):
+    """The tiled full-mask variant agrees with greedy NMS too."""
+    boxes = random_boxes(rng, 384)
+    scores = rng.rand(384).astype(np.float32)
+    order = np.argsort(-scores, kind="stable")
+    mask = np.asarray(nms_keep_mask_sorted(jnp.array(boxes[order]), 0.5,
+                                           tile_size=128))
+    got = sorted(order[mask].tolist())
+    want = sorted(naive_nms(boxes, scores, 0.5))
+    assert got == want
 
 
 def test_nms_output_is_score_sorted(rng):

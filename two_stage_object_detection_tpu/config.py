@@ -74,6 +74,12 @@ class Config:
 
     # head (reference nets/classify.py:17, nets/frcnn_training.py:213-217)
     roi_size: int = 7
+    roi_pool_mode: str = "pool"    # "pool" (reference RoIPool parity) | "align"
+
+    # inference (true predict path; reference lacks one — nets/frcnn.py is dead)
+    score_thresh: float = 0.05
+    predict_nms_iou: float = 0.3
+    max_detections: int = 100
     backbone: str = "hardnet39"    # hardnet39|hardnet68|hardnet85|resnet34|resnet50|resnet101|resnext50
     backbone_channels: int = 512   # channels of the shared feature map
 

@@ -1,0 +1,242 @@
+"""HarDNet feature extractor (flax.linen, NHWC, bf16-friendly).
+
+TPU-native re-design of the reference backbone (``models/hardnet.py:6-212``):
+same architecture family (HarDNet-39/68/85, harmonic dense blocks with
+log-spaced skip links) but
+
+* NHWC layout (TPU conv layout) instead of NCHW;
+* the recursive ``get_link`` topology is resolved to a static table at module
+  build time, so the forward pass is a plain static concat graph;
+* convs run in a configurable compute dtype (bfloat16 by default) with
+  float32 parameters.
+
+Channel math matches the reference exactly (verified by shape tests):
+HarDNet-39, depth-wise variant -> stride-16, 512-channel feature map
+(600x600 input -> 38x38x512).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+def relu6(x):
+    return jnp.minimum(jnp.maximum(x, 0.0), 6.0)
+
+
+class ConvLayer(nn.Module):
+    """Conv + BN + ReLU6 (reference ``models/hardnet.py:38-55``)."""
+
+    out_channels: int
+    kernel: int = 3
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k = self.kernel
+        x = nn.Conv(self.out_channels, (k, k), strides=(self.stride, self.stride),
+                    padding=[(k // 2, k // 2)] * 2, use_bias=False,
+                    dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        return relu6(x)
+
+
+class DWConvLayer(nn.Module):
+    """Depthwise 3x3 conv + BN, no activation (reference ``hardnet.py:21-36``)."""
+
+    channels: int
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.channels, (3, 3), strides=(self.stride, self.stride),
+                    padding=[(1, 1)] * 2, feature_group_count=self.channels,
+                    use_bias=False, dtype=self.dtype, name="dwconv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        return x
+
+
+class CombConvLayer(nn.Module):
+    """1x1 ConvLayer followed by a depthwise 3x3 (reference ``hardnet.py:12-19``)."""
+
+    out_channels: int
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvLayer(self.out_channels, kernel=1, dtype=self.dtype,
+                      name="layer1")(x, train)
+        x = DWConvLayer(self.out_channels, stride=self.stride, dtype=self.dtype,
+                        name="layer2")(x, train)
+        return x
+
+
+def hard_block_links(n_layers: int, base_ch: int, growth_rate: int,
+                     grmul: float) -> Tuple[List[int], List[int], List[List[int]], int]:
+    """Static link topology of a harmonic dense block.
+
+    Re-derivation of the reference's recursive ``get_link``
+    (``models/hardnet.py:58-75``): layer ``t`` (1-indexed) consumes the
+    concatenation of layers ``t - 2**i`` for every ``i`` with ``t % 2**i == 0``
+    (layer 0 = block input); its width is ``growth_rate * grmul**(k-1)``
+    (``k`` = number of links) rounded up to an even integer.
+
+    Returns:
+      ``(out_chs, in_chs, links, block_out_ch)`` where ``out_chs[t]`` is the
+      width of layer ``t`` (``out_chs[0] = base_ch``), ``links[t-1]`` are the
+      producer indices for layer ``t``, and ``block_out_ch`` is the channel
+      count of the block's concatenated output.
+    """
+    out_chs = [base_ch]
+    in_chs = []
+    links: List[List[int]] = []
+    block_out = 0
+    for t in range(1, n_layers + 1):
+        link = []
+        ch = float(growth_rate)
+        for i in range(10):
+            dv = 2 ** i
+            if t % dv == 0:
+                link.append(t - dv)
+                if i > 0:
+                    ch *= grmul
+        ch = int(int(ch + 1) / 2) * 2
+        out_chs.append(ch)
+        in_chs.append(sum(out_chs[j] for j in link))
+        links.append(link)
+        if (t - 1) % 2 == 0 or t == n_layers:
+            block_out += ch
+    return out_chs, in_chs, links, block_out
+
+
+class HarDBlock(nn.Module):
+    """Harmonic dense block (reference ``models/hardnet.py:57-121``)."""
+
+    in_channels: int
+    growth_rate: int
+    grmul: float
+    n_layers: int
+    keep_base: bool = False
+    dwconv: bool = True
+    dtype: Dtype = jnp.float32
+
+    @property
+    def out_channels(self) -> int:
+        out = hard_block_links(self.n_layers, self.in_channels,
+                               self.growth_rate, self.grmul)[3]
+        return out + (self.in_channels if self.keep_base else 0)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out_chs, _, links, _ = hard_block_links(
+            self.n_layers, self.in_channels, self.growth_rate, self.grmul)
+        outputs = [x]
+        for t in range(1, self.n_layers + 1):
+            tin = [outputs[j] for j in links[t - 1]]
+            inp = jnp.concatenate(tin, axis=-1) if len(tin) > 1 else tin[0]
+            layer_cls = CombConvLayer if self.dwconv else ConvLayer
+            out = layer_cls(out_chs[t], dtype=self.dtype,
+                            name=f"layer{t - 1}")(inp, train)
+            outputs.append(out)
+        keep = []
+        for i, o in enumerate(outputs):
+            if (i == 0 and self.keep_base) or i == len(outputs) - 1 or i % 2 == 1:
+                keep.append(o)
+        return jnp.concatenate(keep, axis=-1)
+
+
+_ARCH = {
+    # arch: (first_ch, ch_list, grmul, gr, n_layers, down_samp)
+    39: ((24, 48), (96, 320, 640, 1024), 1.6, (16, 20, 64, 160),
+         (4, 16, 8, 4), (1, 1, 1, 0)),
+    68: ((32, 64), (128, 256, 320, 640, 1024), 1.7, (14, 16, 20, 40, 160),
+         (8, 16, 16, 16, 4), (1, 0, 1, 1, 0)),
+    85: ((48, 96), (192, 256, 320, 480, 720, 1024), 1.7, (24, 24, 28, 36, 48, 256),
+         (8, 16, 16, 16, 16, 4), (1, 0, 1, 0, 1, 0)),
+}
+
+
+class HarDNetFeatureExtraction(nn.Module):
+    """HarDNet backbone ending in a 512-channel stride-16 feature map.
+
+    Mirrors reference ``models/hardnet.py:123-201`` (depth-wise variant):
+    stem (conv s2, 1x1 conv, depthwise s2) -> HarDBlocks with 1x1 transitions
+    -> depthwise tail (two s2 grouped convs + grouped 1x1 to 512 channels).
+    """
+
+    arch: int = 39
+    depth_wise: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        first_ch, ch_list, grmul, gr, n_layers, down_samp = _ARCH[self.arch]
+        second_kernel = 1 if self.depth_wise else 3
+
+        x = ConvLayer(first_ch[0], kernel=3, stride=2, dtype=self.dtype,
+                      name="stem0")(x, train)
+        x = ConvLayer(first_ch[1], kernel=second_kernel, dtype=self.dtype,
+                      name="stem1")(x, train)
+        if self.depth_wise:
+            x = DWConvLayer(first_ch[1], stride=2, dtype=self.dtype,
+                            name="stem2")(x, train)
+        else:
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
+
+        ch = first_ch[1]
+        for i in range(len(n_layers)):
+            blk = HarDBlock(ch, gr[i], grmul, n_layers[i],
+                            dwconv=self.depth_wise, dtype=self.dtype,
+                            name=f"block{i}")
+            x = blk(x, train)
+            ch = blk.out_channels
+            if i == len(n_layers) - 1 and self.arch == 85 and train:
+                x = nn.Dropout(0.1, deterministic=not train)(x)
+            x = ConvLayer(ch_list[i], kernel=1, dtype=self.dtype,
+                          name=f"transition{i}")(x, train)
+            ch = ch_list[i]
+            if down_samp[i] == 1:
+                if self.depth_wise:
+                    # reference quirk kept: depth-wise "downsample" is stride-1
+                    # (models/hardnet.py:189-193), total stride stays 16
+                    x = DWConvLayer(ch, stride=1, dtype=self.dtype,
+                                    name=f"down{i}")(x, train)
+                else:
+                    x = nn.max_pool(x, (2, 2), strides=(2, 2))
+
+        # tail: grouped s2 convs to stride 16 and 512 channels
+        # (reference models/hardnet.py:193-196; these carry bias, no BN)
+        c_last = ch_list[-1]
+        x = nn.Conv(c_last, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2,
+                    feature_group_count=c_last, dtype=self.dtype,
+                    name="tail0")(x)
+        x = nn.relu(x)
+        x = nn.Conv(c_last, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2,
+                    feature_group_count=c_last, dtype=self.dtype,
+                    name="tail1")(x)
+        x = nn.Conv(512, (1, 1), feature_group_count=512, dtype=self.dtype,
+                    name="tail2")(x)
+        return x
+
+    @property
+    def out_channels(self) -> int:
+        return 512
+
+
+class GlobalAvgPoolClassifier(nn.Module):
+    """Global average pool + flatten (reference ``HarNetClassifier``,
+    ``models/hardnet.py:203-212``): ``[N, P, P, C] -> [N, C]``."""
+
+    @nn.compact
+    def __call__(self, x):
+        return jnp.mean(x, axis=(-3, -2))

@@ -1,0 +1,33 @@
+"""Backbone registry: name -> (feature extractor module, output channels)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from two_stage_object_detection_tpu.models.hardnet import HarDNetFeatureExtraction
+from two_stage_object_detection_tpu.models.resnet import ResNetFeatureExtraction
+
+
+def build_backbone(name: str, dtype=jnp.float32):
+    """Build a stride-16 feature extractor by name.
+
+    Supported: hardnet39/68/85 (reference ``models/hardnet.py:126-152``),
+    resnet34/50/101 and resnext50 (reference ``models/resnet.py:154-172``).
+    """
+    name = name.lower()
+    if name.startswith("hardnet"):
+        arch = int(name.replace("hardnet", ""))
+        mod = HarDNetFeatureExtraction(arch=arch, dtype=dtype)
+        return mod, mod.out_channels
+    table = {
+        "resnet34": dict(block="basic", blocks_num=(3, 4, 6)),
+        "resnet50": dict(block="bottleneck", blocks_num=(3, 4, 6)),
+        "resnet101": dict(block="bottleneck", blocks_num=(3, 4, 23)),
+        "resnext50": dict(block="bottleneck", blocks_num=(3, 4, 6),
+                          groups=32, width_per_group=4),
+    }
+    if name not in table:
+        raise ValueError(f"unknown backbone {name!r}; "
+                         f"expected hardnet39/68/85 or {sorted(table)}")
+    mod = ResNetFeatureExtraction(dtype=dtype, **table[name])
+    return mod, mod.out_channels

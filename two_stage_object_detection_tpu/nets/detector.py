@@ -1,0 +1,234 @@
+"""FasterRCNN: the end-to-end detector module.
+
+Replaces the reference's ``FasterRCNNTrainer`` (``nets/frcnn_training.py:179-345``,
+the only live model graph there) *and* the broken inference-only ``FasterRCNN``
+(``nets/frcnn.py:6-59``, uncallable — SURVEY quirk #1) with one flax module
+exposing:
+
+* ``__call__``      — full graph on dummy rois (parameter initialisation);
+* ``train_forward`` — losses + trainer-parity predictions, whole batch in one
+  traced graph (the reference's per-image Python loops at
+  ``frcnn_training.py:263,299`` become ``vmap``; the reference's batch-1
+  featurisation bug, quirk #3, is fixed — every image in the batch is used);
+* ``predict``       — a *true* inference path (no GT inputs): backbone ->
+  RPN -> top-300 proposals -> head -> per-class decode + score threshold +
+  per-class NMS, what ``nets/frcnn.py:30-40`` intended but could not run.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from two_stage_object_detection_tpu.config import Config
+from two_stage_object_detection_tpu.models.registry import build_backbone
+from two_stage_object_detection_tpu.nets.losses import (
+    fast_rcnn_loc_loss, softmax_cross_entropy_with_ignore)
+from two_stage_object_detection_tpu.nets.roi_head import RoIHead
+from two_stage_object_detection_tpu.nets.rpn import RPNHead, create_proposals
+from two_stage_object_detection_tpu.nets.targets import (
+    anchor_target, proposal_target)
+from two_stage_object_detection_tpu.ops.anchors import make_anchors
+from two_stage_object_detection_tpu.ops.geometry import clip_boxes, loc2bbox
+from two_stage_object_detection_tpu.ops.nms import nms
+
+
+class FasterRCNN(nn.Module):
+    """Two-stage detector over a stride-16 backbone."""
+
+    cfg: Config
+
+    def setup(self):
+        cfg = self.cfg
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        self.extractor, self.feat_channels = build_backbone(cfg.backbone, dtype)
+        self.rpn_head = RPNHead(n_anchors=cfg.n_anchors_per_cell, dtype=dtype)
+        self.roi_head = RoIHead(n_class=cfg.num_classes + 1,
+                                roi_size=cfg.roi_size,
+                                pool_mode=cfg.roi_pool_mode, dtype=dtype)
+        self.anchors = make_anchors(cfg)        # numpy compile-time constant
+
+    # ------------------------------------------------------------------ init
+    def __call__(self, images: jnp.ndarray, train: bool = False):
+        """Parameter-initialising forward (dummy rois through the head)."""
+        feats = self.extractor(images, train)
+        rpn_locs, rpn_scores = self.rpn_head(feats)
+        b = images.shape[0]
+        rois = jnp.tile(jnp.array([[8.0, 8.0, 64.0, 64.0]], jnp.float32),
+                        (b, self.cfg.roi_n_sample, 1))
+        roi_cls_locs, roi_scores = self.roi_head(
+            feats, rois, images.shape[1:3])
+        return rpn_locs, rpn_scores, roi_cls_locs, roi_scores
+
+    # ----------------------------------------------------------------- parts
+    def _proposals(self, rpn_locs, rpn_scores, img_size, train: bool,
+                   scale: float = 1.0):
+        cfg = self.cfg
+        fg = jax.nn.softmax(rpn_scores, axis=-1)[..., 1]
+        anchors = jnp.asarray(self.anchors)
+        fn = functools.partial(
+            create_proposals,
+            anchors=anchors, img_size=img_size, nms_iou=cfg.rpn_nms_iou,
+            n_pre_nms=cfg.n_train_pre_nms if train else cfg.n_test_pre_nms,
+            n_post_nms=cfg.n_train_post_nms if train else cfg.n_test_post_nms,
+            min_size=cfg.proposal_min_size, scale=scale)
+        return jax.vmap(fn)(rpn_locs, fg)
+
+    # ----------------------------------------------------------------- train
+    def train_forward(self, images: jnp.ndarray, gt_boxes: jnp.ndarray,
+                      gt_labels: jnp.ndarray, gt_valid: jnp.ndarray,
+                      scale: float = 1.0, train: bool = True) -> Dict[str, Any]:
+        """Losses + predictions for one (padded) batch.
+
+        Args:
+          images: ``[B, H, W, 3]`` float32 in [0, 1].
+          gt_boxes: ``[B, G, 4]`` xyxy, zero-padded; ``gt_valid``: ``[B, G]``.
+          gt_labels: ``[B, G]`` int32, 0-based foreground classes.
+          train: True for training (batch-stat BN, 12000/600 proposals);
+            False for evaluation through the same graph (running-average BN,
+            3000/300 proposals, no state mutation).
+
+        Returns a dict with the reference trainer's output surface
+        (``frcnn_training.py:334-342``): the four component losses + total,
+        per-sample predicted boxes/classes/scores, and the (shifted) GT.
+        """
+        cfg = self.cfg
+        img_size = images.shape[1:3]
+        feats = self.extractor(images, train=train)
+        rpn_locs, rpn_scores = self.rpn_head(feats)
+        rois, _, roi_valid = self._proposals(rpn_locs, rpn_scores, img_size,
+                                             train=train, scale=scale)
+        rois = jax.lax.stop_gradient(rois)
+
+        # ---- RPN targets + losses (vmapped over the batch) ----
+        anchors = jnp.asarray(self.anchors)
+        if self.has_rng("sampling"):
+            b = images.shape[0]
+            at_keys = jax.random.split(self.make_rng("sampling"), b)
+            pt_keys = jax.random.split(self.make_rng("sampling"), b)
+        else:
+            at_keys = pt_keys = None
+
+        at_fn = functools.partial(
+            anchor_target, n_sample=cfg.rpn_n_sample,
+            pos_iou_thresh=cfg.rpn_pos_iou_thresh,
+            neg_iou_thresh=cfg.rpn_neg_iou_thresh, pos_ratio=cfg.rpn_pos_ratio)
+        if at_keys is None:
+            gt_rpn_loc, gt_rpn_label = jax.vmap(
+                lambda b_, v: at_fn(anchors, b_, v))(gt_boxes, gt_valid)
+        else:
+            gt_rpn_loc, gt_rpn_label = jax.vmap(
+                lambda b_, v, k: at_fn(anchors, b_, v, key=k))(
+                    gt_boxes, gt_valid, at_keys)
+
+        rpn_loc_loss = jnp.mean(jax.vmap(
+            lambda p, g, l: fast_rcnn_loc_loss(p, g, l, cfg.rpn_sigma))(
+                rpn_locs, gt_rpn_loc, gt_rpn_label))
+        rpn_cls_loss = jnp.mean(jax.vmap(softmax_cross_entropy_with_ignore)(
+            rpn_scores, gt_rpn_label))
+
+        # ---- RoI targets ----
+        pt_fn = functools.partial(
+            proposal_target, n_sample=cfg.roi_n_sample,
+            pos_ratio=cfg.roi_pos_ratio, pos_iou_thresh=cfg.roi_pos_iou_thresh,
+            neg_iou_thresh_high=cfg.roi_neg_iou_thresh_high,
+            neg_iou_thresh_low=cfg.roi_neg_iou_thresh_low)
+        if pt_keys is None:
+            sample_roi, gt_roi_loc, gt_roi_label, sample_valid = jax.vmap(pt_fn)(
+                rois, roi_valid, gt_boxes, gt_valid, gt_labels)
+        else:
+            sample_roi, gt_roi_loc, gt_roi_label, sample_valid = jax.vmap(
+                lambda r, rv, b_, v, l, k: pt_fn(r, rv, b_, v, l, key=k))(
+                    rois, roi_valid, gt_boxes, gt_valid, gt_labels, pt_keys)
+
+        # ---- head ----
+        roi_cls_locs, roi_scores = self.roi_head(feats, sample_roi, img_size)
+        s = cfg.roi_n_sample
+        locs4 = roi_cls_locs.reshape(roi_cls_locs.shape[0], s, -1, 4)
+        # gather the GT class's regression (frcnn_training.py:311-318)
+        roi_loc = jnp.take_along_axis(
+            locs4, gt_roi_label[..., None, None].astype(jnp.int32), axis=2
+        )[:, :, 0, :]                                       # [B, S, 4]
+
+        # ignore invalid (padding) samples in the CE
+        ce_labels = jnp.where(sample_valid, gt_roi_label, -1)
+        roi_loc_loss = jnp.mean(jax.vmap(
+            lambda p, g, l: fast_rcnn_loc_loss(p, g, l, cfg.roi_sigma))(
+                roi_loc, gt_roi_loc, jnp.where(sample_valid, gt_roi_label, 0)))
+        roi_cls_loss = jnp.mean(jax.vmap(softmax_cross_entropy_with_ignore)(
+            roi_scores, ce_labels))
+
+        total = rpn_loc_loss + rpn_cls_loss + roi_loc_loss + roi_cls_loss
+
+        # trainer-parity predictions
+        boxes_pred = loc2bbox(sample_roi, roi_loc)          # [B, S, 4]
+        probs = jax.nn.softmax(roi_scores, axis=-1)
+        classes_score_pred = jnp.max(probs, axis=-1)
+        classes_pred = jnp.argmax(probs, axis=-1)
+
+        return {
+            "losses": {
+                "rpn_loc": rpn_loc_loss,
+                "rpn_cls": rpn_cls_loss,
+                "roi_loc": roi_loc_loss,
+                "roi_cls": roi_cls_loss,
+                "total": total,
+            },
+            "boxes_pred": boxes_pred,
+            "classes_pred": classes_pred,
+            "classes_score_pred": classes_score_pred,
+            "pred_valid": sample_valid,
+            "gt_boxes": gt_boxes,
+            "gt_labels": gt_labels + 1,                     # bg=0 contract
+            "gt_valid": gt_valid,
+        }
+
+    # --------------------------------------------------------------- predict
+    def predict(self, images: jnp.ndarray, scale: float = 1.0):
+        """True inference: ``[B,H,W,3] -> (boxes, scores, labels, valid)``.
+
+        Per-class decode of the head's regression, score thresholding, and
+        per-class NMS, with all shapes static: ``[B, max_detections, ...]``.
+        """
+        cfg = self.cfg
+        img_size = images.shape[1:3]
+        feats = self.extractor(images, train=False)
+        rpn_locs, rpn_scores = self.rpn_head(feats)
+        rois, _, roi_valid = self._proposals(rpn_locs, rpn_scores, img_size,
+                                             train=False, scale=scale)
+        roi_cls_locs, roi_scores = self.roi_head(feats, rois, img_size)
+
+        n_class = cfg.num_classes + 1
+        r = rois.shape[1]
+        locs4 = roi_cls_locs.reshape(-1, r, n_class, 4)
+        probs = jax.nn.softmax(roi_scores, axis=-1)         # [B, R, C]
+
+        def per_image(rois_i, valid_i, locs_i, probs_i):
+            # decode every class's boxes: [R, C, 4]
+            boxes = jax.vmap(lambda c: loc2bbox(rois_i, locs_i[:, c, :]))(
+                jnp.arange(n_class))                        # [C, R, 4]
+            boxes = clip_boxes(boxes, img_size)
+
+            def per_class(c_boxes, c_scores):
+                ok = valid_i & (c_scores >= cfg.score_thresh)
+                idx, keep = nms(c_boxes, c_scores, cfg.predict_nms_iou,
+                                cfg.max_detections, valid=ok)
+                return c_boxes[idx], c_scores[idx], keep
+
+            # foreground classes only (class 0 = background)
+            cb, cs, ck = jax.vmap(per_class)(
+                boxes[1:], probs_i.T[1:])                   # [C-1, max_det, ...]
+            labels = jnp.broadcast_to(
+                jnp.arange(1, n_class)[:, None], ck.shape)
+            flat_scores = jnp.where(ck, cs, -1.0).reshape(-1)
+            top_scores, top = jax.lax.top_k(flat_scores, cfg.max_detections)
+            flat_boxes = cb.reshape(-1, 4)
+            flat_labels = labels.reshape(-1)
+            return (flat_boxes[top], top_scores, flat_labels[top],
+                    top_scores > 0)
+
+        return jax.vmap(per_image)(rois, roi_valid, locs4, probs)

@@ -1,0 +1,57 @@
+"""RoI classification / regression head.
+
+Equivalent of reference ``HarNetRoIHead`` (``nets/classify.py:8-56``):
+RoI pooling on the shared feature map, global average pool, and two dense
+heads.  Differences by design:
+
+* rois arrive per-image ``[B, R, 4]`` and the pooling is ``vmap``-ed — no
+  flattened ``(batch_idx, box)`` bookkeeping or hard-coded 128 rois/image
+  (fixes SURVEY quirk #4);
+* image->feature coordinate mapping uses a uniform ``(H, W)`` contract
+  (fixes quirk #2, the ``img_size[0]=channels`` y-scaling bug);
+* pooling mode is selectable: exact RoIPool-max parity or bilinear RoIAlign.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from two_stage_object_detection_tpu.ops.roi_pool import roi_align, roi_pool
+
+
+class RoIHead(nn.Module):
+    """``(feats [B,H,W,C], rois [B,R,4] in image coords) ->
+    (roi_cls_locs [B,R,n_class*4], roi_scores [B,R,n_class])``."""
+
+    n_class: int                      # includes background
+    roi_size: int = 7
+    pool_mode: str = "pool"           # "pool" (reference parity) | "align"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray, rois: jnp.ndarray, img_size):
+        _, fh, fw, _ = feats.shape
+        img_h, img_w = img_size
+        scale = jnp.array([fw / img_w, fh / img_h, fw / img_w, fh / img_h],
+                          jnp.float32)
+        rois_feat = rois.astype(jnp.float32) * scale
+
+        if self.pool_mode == "align":
+            pool_fn = lambda f, r: roi_align(f, r, self.roi_size, 1.0)
+        else:
+            pool_fn = lambda f, r: roi_pool(f, r, self.roi_size, 1.0)
+        pooled = jax.vmap(pool_fn)(feats.astype(jnp.float32), rois_feat)
+        # [B, R, P, P, C]
+
+        # global average pool == reference HarNetClassifier
+        # (models/hardnet.py:203-212)
+        flat = jnp.mean(pooled, axis=(2, 3)).astype(self.dtype)   # [B, R, C]
+        roi_cls_locs = nn.Dense(self.n_class * 4, dtype=self.dtype,
+                                name="cls_loc")(flat)
+        roi_scores = nn.Dense(self.n_class, dtype=self.dtype,
+                              name="score")(flat)
+        return roi_cls_locs.astype(jnp.float32), roi_scores.astype(jnp.float32)

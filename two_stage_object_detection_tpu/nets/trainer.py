@@ -1,0 +1,105 @@
+"""Training state, optimiser, and the jitted train/eval steps.
+
+Replaces the reference's driver-side training mechanics
+(``train/train.py:49-92``): AdamW + cosine annealing (optax), gradient
+accumulation over 32 micro-batches (``optax.MultiSteps`` — the reference
+scales the loss by 1/32 and steps every 32 batches, ``train.py:86-92``; mean
+over 32 micro-gradients is the same update), BatchNorm running-stat updates,
+and a single compiled ``train_step`` covering the whole model.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import core, struct
+from flax.training import train_state
+
+from two_stage_object_detection_tpu.config import Config
+from two_stage_object_detection_tpu.nets.detector import FasterRCNN
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: core.FrozenDict[str, Any] = struct.field(pytree_node=True)
+
+
+def make_optimizer(cfg: Config, steps_per_epoch: int = 1) -> optax.GradientTransformation:
+    """AdamW + per-epoch cosine annealing + 32-step gradient accumulation."""
+    # CosineAnnealingLR(T_max=5) stepped per epoch (reference train.py:55-58,133)
+    t_max_updates = max(cfg.cosine_t_max * steps_per_epoch // max(cfg.grad_accum_steps, 1), 1)
+    schedule = optax.cosine_decay_schedule(cfg.lr, decay_steps=t_max_updates)
+    tx = optax.adamw(schedule, weight_decay=cfg.weight_decay)
+    if cfg.grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
+    return tx
+
+
+def create_train_state(cfg: Config, rng: jax.Array,
+                       steps_per_epoch: int = 1,
+                       init_image_size: Optional[Tuple[int, int]] = None
+                       ) -> Tuple[FasterRCNN, TrainState]:
+    """Build the model and an initialised :class:`TrainState`."""
+    model = FasterRCNN(cfg)
+    size = init_image_size or cfg.input_size
+    sample = jnp.zeros((1, size[0], size[1], 3), jnp.float32)
+    variables = jax.jit(model.init, static_argnames=("train",))(rng, sample)
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", core.FrozenDict()),
+        tx=make_optimizer(cfg, steps_per_epoch),
+    )
+    return model, state
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+               rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One optimisation micro-step on a (possibly device-sharded) batch.
+
+    ``batch``: dict with ``image [B,H,W,3]``, ``boxes [B,G,4]``,
+    ``labels [B,G]``, ``valid [B,G]``.
+    """
+    def loss_fn(params):
+        out, mutated = state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch["image"], batch["boxes"], batch["labels"], batch["valid"],
+            method="train_forward", mutable=["batch_stats"],
+            rngs={"sampling": rng})
+        return out["losses"]["total"], (mutated["batch_stats"], out["losses"])
+
+    (_, (new_stats, losses)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+    state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+    return state, losses
+
+
+@functools.partial(jax.jit, static_argnames=("deterministic",))
+def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+              rng: jax.Array, deterministic: bool = True):
+    """Forward pass with losses + trainer-parity predictions (no update).
+
+    Mirrors the reference's practice of evaluating through the train graph
+    (``frcnn_training.py:347-370``) but without mutating batch stats.
+    """
+    rngs = None if deterministic else {"sampling": rng}
+    out = state.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        batch["image"], batch["boxes"], batch["labels"], batch["valid"],
+        train=False, method="train_forward", rngs=rngs)
+    return out
+
+
+def predict_step(state: TrainState, images: jnp.ndarray):
+    """Jitted true-inference step -> (boxes, scores, labels, valid)."""
+    return _predict_step(state.params, state.batch_stats, state.apply_fn, images)
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn",))
+def _predict_step(params, batch_stats, apply_fn, images):
+    return apply_fn({"params": params, "batch_stats": batch_stats},
+                    images, method="predict")

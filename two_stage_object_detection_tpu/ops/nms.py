@@ -2,15 +2,20 @@
 
 Replaces the reference's ``torchvision.ops.nms`` (a C++/CUDA kernel used at
 ``nets/rpn.py:63``, ``nets/frcnn_training.py:454``, ``multi_inference.py:84``)
-with an XLA-friendly tiled algorithm:
+with two XLA-friendly exact algorithms:
 
-* boxes are processed in score order, in tiles of ``tile_size``;
-* each tile is first suppressed against all earlier (already final) tiles
-  with dense tile x tile IoU blocks (pure VPU work, no gathers);
-* within-tile greedy suppression is computed as the fixpoint of
-  ``alive[j] = not any(i < j, alive[i] and iou[i, j] > t)`` via
-  ``lax.while_loop`` — the unique solution of that recurrence *is* the greedy
-  NMS result, and the iteration converges in a handful of sweeps in practice.
+1. **Select-and-suppress** (the default, :func:`nms`): with boxes sorted by
+   score, greedy NMS needs exactly ``max_output`` sequential steps — each
+   step takes the first still-alive box (``argmax`` over the alive mask, the
+   sort order makes "first alive" = "highest-scoring alive") and kills its
+   overlaps with one vectorised IoU row.  Cost is ``O(max_output * n)`` VPU
+   work with only ``max_output`` sequential steps — independent of how many
+   candidate boxes there are (12k anchors -> 600 proposals = 600 steps).
+
+2. **Tiled sweep** (:func:`nms_keep_mask_sorted`): computes the full keep
+   mask in ``O((n/T)^2)`` tile-pair IoU blocks with a ``lax.while_loop``
+   fixpoint for within-tile suppression — useful when *all* survivors are
+   needed rather than a top-k.
 
 Everything is shape-static: outputs are padded to a fixed length with a
 validity mask (the reference instead pads keep-indices by *duplicating*
@@ -102,11 +107,24 @@ def _pad_rows(x: jnp.ndarray, n: int, value=0.0) -> jnp.ndarray:
     return jnp.pad(x, widths, constant_values=value)
 
 
-@functools.partial(jax.jit, static_argnames=("iou_threshold", "max_output", "tile_size"))
+def _iou_one_to_many(box: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
+    """IoU of one ``[4]`` box against ``[n, 4]`` boxes."""
+    tl = jnp.maximum(box[:2], boxes[:, :2])
+    br = jnp.minimum(box[2:], boxes[:, 2:])
+    wh = jnp.maximum(br - tl, 0.0)
+    inter = wh[:, 0] * wh[:, 1]
+    area = (box[2] - box[0]) * (box[3] - box[1])
+    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    return inter / (area + areas - inter + 1e-8)
+
+
+@functools.partial(jax.jit, static_argnames=("iou_threshold", "max_output"))
 def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
-        max_output: int, valid: jnp.ndarray | None = None,
-        tile_size: int = 128):
+        max_output: int, valid: jnp.ndarray | None = None):
     """torch-style NMS returning indices into the input, score-descending.
+
+    Select-and-suppress greedy NMS: ``max_output`` sequential steps of
+    vectorised work, independent of input length.
 
     Args:
       boxes: ``[n, 4]`` xyxy.
@@ -125,25 +143,31 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
     scores = jnp.where(valid, scores, NEG_INF)
     order = jnp.argsort(-scores)
     boxes_sorted = boxes[order] * valid[order][:, None].astype(boxes.dtype)
-    valid_sorted = valid[order]
+    alive0 = valid[order]
 
-    n_pad = -(-n // tile_size) * tile_size
-    mask = nms_keep_mask_sorted(_pad_rows(boxes_sorted, n_pad), iou_threshold,
-                                tile_size)[:n]
-    mask = mask & valid_sorted
+    def body(k, state):
+        alive, out_pos, out_ok = state
+        i = jnp.argmax(alive)                   # first alive = best-scoring alive
+        ok = alive[i]
+        box_i = boxes_sorted[i]
+        suppress = _iou_one_to_many(box_i, boxes_sorted) > iou_threshold
+        alive = alive & ~suppress
+        alive = alive.at[i].set(False)
+        out_pos = out_pos.at[k].set(i.astype(jnp.int32))
+        out_ok = out_ok.at[k].set(ok)
+        return alive, out_pos, out_ok
 
-    # compact kept sorted-positions into the first `max_output` slots
-    pos = jnp.where(mask, jnp.cumsum(mask) - 1, max_output)
-    out_idx = jnp.zeros((max_output,), dtype=jnp.int32)
-    out_idx = out_idx.at[pos].set(order.astype(jnp.int32), mode="drop")
-    keep_valid = jnp.arange(max_output) < jnp.sum(mask)
+    out_pos0 = jnp.zeros((max_output,), jnp.int32)
+    out_ok0 = jnp.zeros((max_output,), bool)
+    _, out_pos, keep_valid = lax.fori_loop(0, max_output, body,
+                                           (alive0, out_pos0, out_ok0))
+    out_idx = jnp.where(keep_valid, order[out_pos].astype(jnp.int32), 0)
     return out_idx, keep_valid
 
 
-@functools.partial(jax.jit, static_argnames=("iou_threshold", "n_post", "tile_size"))
+@functools.partial(jax.jit, static_argnames=("iou_threshold", "n_post"))
 def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
-               n_post: int, valid: jnp.ndarray | None = None,
-               tile_size: int = 128):
+               n_post: int, valid: jnp.ndarray | None = None):
     """NMS returning the kept boxes themselves, padded to ``n_post``.
 
     This is the proposal-pipeline form of the reference's
@@ -154,7 +178,6 @@ def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
     Returns:
       ``(boxes_out [n_post, 4], scores_out [n_post], valid_out [n_post])``.
     """
-    idx, keep_valid = nms(boxes, scores, iou_threshold, n_post, valid=valid,
-                          tile_size=tile_size)
+    idx, keep_valid = nms(boxes, scores, iou_threshold, n_post, valid=valid)
     vf = keep_valid.astype(boxes.dtype)
     return boxes[idx] * vf[:, None], scores[idx] * vf, keep_valid

@@ -1,0 +1,4 @@
+from two_stage_object_detection_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh, shard_batch, replicate)
+from two_stage_object_detection_tpu.parallel.sharding import (  # noqa: F401
+    infer_param_sharding)

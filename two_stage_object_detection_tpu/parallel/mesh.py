@@ -1,0 +1,42 @@
+"""Device mesh construction and batch sharding.
+
+The reference is single-process single-GPU (``configs/config.json:6``,
+SURVEY §2 "parallelism strategies: none").  Here training scales over a
+``jax.sharding.Mesh`` with a ``data`` axis (batch parallelism; the mean
+gradient's ``psum`` is inserted by XLA because the whole train step is one
+jitted program) and an optional ``model`` axis for tensor-parallel parameter
+sharding (see :mod:`.sharding`).  Collectives ride ICI — there is no
+host-side communication code at all.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    """Build a ``(data, model)`` mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model <= len(devices), (n_data, n_model, len(devices))
+    grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(grid, ("data", "model"))
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a pytree of batch arrays with the leading axis split over ``data``."""
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree over every device of the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
