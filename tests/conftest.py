@@ -1,17 +1,22 @@
 """Test configuration: run everything on a fake 8-device CPU backend.
 
-Must set the XLA flags before jax initialises, hence the env mutation at
-module import (pytest loads conftest before test modules import jax).
+XLA_FLAGS must be set before jax initialises its backends; the axon TPU
+plugin forces ``jax_platforms`` programmatically at sitecustomize time, so
+the env var alone is not enough — override via jax.config as well.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

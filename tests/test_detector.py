@@ -1,0 +1,133 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from two_stage_object_detection_tpu.config import Config
+from two_stage_object_detection_tpu.nets.trainer import (
+    create_train_state, eval_step, predict_step, train_step)
+
+
+def tiny_config(**kw):
+    base = dict(
+        input_size=(64, 64),
+        num_classes=3,
+        batch_size=2,
+        max_gt_boxes=4,
+        n_train_pre_nms=128,
+        n_train_post_nms=32,
+        n_test_pre_nms=64,
+        n_test_post_nms=16,
+        roi_n_sample=8,
+        rpn_n_sample=32,
+        max_detections=8,
+        grad_accum_steps=2,
+        compute_dtype="float32",
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def tiny_batch(cfg, rng):
+    b, g = cfg.batch_size, cfg.max_gt_boxes
+    h, w = cfg.input_size
+    images = rng.rand(b, h, w, 3).astype(np.float32)
+    boxes = np.zeros((b, g, 4), np.float32)
+    valid = np.zeros((b, g), bool)
+    labels = np.zeros((b, g), np.int32)
+    for i in range(b):
+        n = rng.randint(1, 3)
+        for j in range(n):
+            x1, y1 = rng.rand(2) * 30
+            boxes[i, j] = [x1, y1, x1 + 10 + rng.rand() * 20, y1 + 10 + rng.rand() * 20]
+            labels[i, j] = rng.randint(0, cfg.num_classes)
+            valid[i, j] = True
+    return {"image": jnp.array(images), "boxes": jnp.array(boxes),
+            "labels": jnp.array(labels), "valid": jnp.array(valid)}
+
+
+@pytest.fixture(scope="module")
+def _setup_once():
+    cfg = tiny_config()
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                      init_image_size=(32, 32))
+    return cfg, model, state
+
+
+@pytest.fixture
+def setup(_setup_once):
+    # train_step donates its state argument; hand each test a fresh copy so
+    # one test's donation cannot invalidate another's buffers
+    cfg, model, state = _setup_once
+    import jax.numpy as _jnp
+    state_copy = jax.tree_util.tree_map(
+        lambda x: _jnp.array(x) if hasattr(x, "dtype") else x, state)
+    return cfg, model, state_copy
+
+
+def test_train_step_runs_and_learns(setup, rng):
+    cfg, model, state = setup
+    batch = tiny_batch(cfg, rng)
+    losses_hist = []
+    for i in range(4):
+        state, losses = train_step(state, batch, jax.random.PRNGKey(i))
+        total = float(losses["total"])
+        assert np.isfinite(total)
+        losses_hist.append(total)
+    for k in ("rpn_loc", "rpn_cls", "roi_loc", "roi_cls"):
+        assert np.isfinite(float(losses[k]))
+    # step counter advanced (MultiSteps applies every grad_accum_steps)
+    assert int(state.step) == 4
+
+
+def test_train_step_updates_params_after_accum(setup, rng):
+    cfg, model, state = setup
+    batch = tiny_batch(cfg, rng)
+    p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
+    # grad_accum_steps=2: after 2 micro-steps params must have moved
+    for i in range(2):
+        state, _ = train_step(state, batch, jax.random.PRNGKey(i))
+    p1 = jax.tree_util.tree_leaves(state.params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+
+
+def test_eval_step_outputs(setup, rng):
+    cfg, model, state = setup
+    batch = tiny_batch(cfg, rng)
+    out = eval_step(state, batch, jax.random.PRNGKey(0))
+    b, s = cfg.batch_size, cfg.roi_n_sample
+    assert out["boxes_pred"].shape == (b, s, 4)
+    assert out["classes_pred"].shape == (b, s)
+    assert out["classes_score_pred"].shape == (b, s)
+    assert np.isfinite(float(out["losses"]["total"]))
+    # scores are probabilities
+    sc = np.asarray(out["classes_score_pred"])
+    assert (sc >= 0).all() and (sc <= 1).all()
+    # gt labels shifted so background is 0
+    assert (np.asarray(out["gt_labels"])[np.asarray(out["gt_valid"])] >= 1).all()
+
+
+def test_predict_static_shapes(setup, rng):
+    cfg, model, state = setup
+    images = jnp.array(rng.rand(2, *cfg.input_size, 3).astype(np.float32))
+    boxes, scores, labels, valid = predict_step(state, images)
+    assert boxes.shape == (2, cfg.max_detections, 4)
+    assert scores.shape == (2, cfg.max_detections)
+    assert labels.shape == (2, cfg.max_detections)
+    v = np.asarray(valid)
+    lab = np.asarray(labels)
+    # valid labels are foreground classes
+    assert ((lab[v] >= 1) & (lab[v] <= cfg.num_classes)).all()
+    # valid boxes are inside the image
+    bx = np.asarray(boxes)[v]
+    if len(bx):
+        assert (bx[:, 0] >= 0).all() and (bx[:, 2] <= cfg.input_size[1]).all()
+
+
+def test_train_forward_deterministic_without_rng(setup, rng):
+    cfg, model, state = setup
+    batch = tiny_batch(cfg, rng)
+    o1 = eval_step(state, batch, jax.random.PRNGKey(0))
+    o2 = eval_step(state, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(o1["losses"]["total"]),
+                               np.asarray(o2["losses"]["total"]), rtol=1e-6)

@@ -1,0 +1,107 @@
+import numpy as np
+
+from two_stage_object_detection_tpu.eval.metrics import (
+    compute_ap, compute_map, filter_pr)
+
+
+def test_filter_pr_and_compute_ap_worked_example():
+    """The reference's own worked PR example (utils/utils.py:41-61)."""
+    x = np.array([
+        [0.5, 5 / 7],
+        [0.44, 4 / 7],
+        [0.375, 3 / 7],
+        [0.43, 3 / 7],
+        [0.5, 3 / 7],
+        [0.4, 2 / 7],
+        [0.5, 2 / 7],
+        [0.66, 2 / 7],
+        [1, 2 / 7],
+        [1, 1 / 7],
+    ], np.float32)
+    pr = filter_pr(x, 7)
+    assert pr.shape == (8, 2)
+    # recall levels descend from 1 to 0
+    np.testing.assert_allclose(pr[:, 1], np.arange(7, -1, -1) / 7)
+    # precision at recall 5/7 is 0.5; at 2/7 the max is 1.0
+    assert pr[2, 0] == np.float32(0.5)
+    assert pr[5, 0] == np.float32(1.0)
+    ap = compute_ap(pr)
+    assert 0 < ap <= 1
+
+
+def test_compute_ap_perfect_detector():
+    pr = np.array([[1.0, 1.0], [1.0, 0.5], [1.0, 0.0]], np.float32)
+    assert compute_ap(pr) == 1.0
+
+
+def test_compute_ap_empty():
+    assert compute_ap(np.zeros((0, 2))) == 0.0
+
+
+def _one_image(pred_boxes, pred_scores, pred_labels, gt_boxes, gt_labels):
+    return ([(np.asarray(pred_boxes, np.float32),
+              np.asarray(pred_scores, np.float32),
+              np.asarray(pred_labels))],
+            [(np.asarray(gt_boxes, np.float32), np.asarray(gt_labels))])
+
+
+def test_map_perfect_match():
+    preds, gts = _one_image(
+        [[0, 0, 10, 10], [20, 20, 30, 30]], [0.9, 0.8], [1, 2],
+        [[0, 0, 10, 10], [20, 20, 30, 30]], [1, 2])
+    res = compute_map(preds, gts, num_classes=2, iou_threshold=0.5)
+    assert res["mAP"] == 1.0
+    assert res["class_metrics"][1]["TP"] == 1
+    assert res["class_metrics"][2]["TP"] == 1
+
+
+def test_map_wrong_class_is_fp_and_fn():
+    preds, gts = _one_image(
+        [[0, 0, 10, 10]], [0.9], [2],
+        [[0, 0, 10, 10]], [1])
+    res = compute_map(preds, gts, num_classes=2, iou_threshold=0.5)
+    assert res["mAP"] == 0.0
+    assert res["class_metrics"][1]["FN"] == 1
+    assert res["class_metrics"][2]["FP"] == 1
+
+
+def test_map_gt_matched_once():
+    """Duplicate detections of one GT: only the best is a TP."""
+    preds, gts = _one_image(
+        [[0, 0, 10, 10], [0.5, 0, 10, 10], [1, 0, 10, 10]],
+        [0.9, 0.8, 0.7], [1, 1, 1],
+        [[0, 0, 10, 10]], [1])
+    res = compute_map(preds, gts, num_classes=1, iou_threshold=0.5)
+    m = res["class_metrics"][1]
+    assert m["TP"] == 1 and m["FP"] == 2 and m["FN"] == 0
+    # AP = 1: the TP is the highest-scoring prediction
+    assert res["mAP"] == 1.0
+
+
+def test_map_classes_without_gt_excluded():
+    """A class with predictions but no GT anywhere must not drag mAP to 0
+    by itself (fixes the reference's append-0 defect)."""
+    preds, gts = _one_image(
+        [[0, 0, 10, 10], [50, 50, 60, 60]], [0.9, 0.8], [1, 2],
+        [[0, 0, 10, 10]], [1])
+    res = compute_map(preds, gts, num_classes=5, iou_threshold=0.5)
+    assert res["mAP"] == 1.0  # only class 1 has GT; it is perfectly detected
+
+
+def test_map_threshold_sensitivity():
+    preds, gts = _one_image(
+        [[0, 0, 10, 10]], [0.9], [1],
+        [[0, 0, 10, 12]], [1])  # IoU = 10/12 ~ 0.833
+    hi = compute_map(preds, gts, 1, iou_threshold=0.9)["mAP"]
+    lo = compute_map(preds, gts, 1, iou_threshold=0.5)["mAP"]
+    assert lo == 1.0 and hi == 0.0
+
+
+def test_map_multiple_images():
+    p1, g1 = _one_image([[0, 0, 10, 10]], [0.9], [1], [[0, 0, 10, 10]], [1])
+    p2, g2 = _one_image([[5, 5, 9, 9]], [0.8], [1], [[0, 0, 10, 10]], [1])
+    res = compute_map(p1 + p2, g1 + g2, 1, iou_threshold=0.5)
+    m = res["class_metrics"][1]
+    assert m["TP"] == 1 and m["FP"] == 1 and m["FN"] == 1
+    # precision at recall .5 is 1 (highest-scoring pred is the TP)
+    assert 0.4 < res["mAP"] <= 0.5 + 1e-6

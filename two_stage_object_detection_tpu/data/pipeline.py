@@ -1,0 +1,136 @@
+"""Dataset + double-buffered device feeding.
+
+Replaces the reference's torch ``DataLoader`` stack
+(``dataset/dataloader.py:24-87``: 12 spawn workers, prefetch 8, pinned
+memory, ragged per-image lists) with
+
+* a :class:`DetectionDataset` producing *fixed-shape* samples — images
+  resized to the configured input size and GT padded to ``max_gt_boxes``
+  with a validity mask (static shapes are the TPU contract; the reference's
+  ragged lists force per-image Python loops downstream);
+* a :class:`Loader` that decodes/augments on a thread pool and keeps a small
+  queue of ready host batches, overlapping input preparation with device
+  compute (``jax.device_put`` is async, so the device transfer of batch
+  ``k+1`` overlaps step ``k`` — the double-buffering the reference gets from
+  DataLoader workers + pinned memory).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+from PIL import Image
+
+from two_stage_object_detection_tpu.data.coco import CocoIndex
+from two_stage_object_detection_tpu.data.transforms import (
+    eval_transform, train_transform)
+
+
+class DetectionDataset:
+    """Fixed-shape detection samples from a :class:`CocoIndex`."""
+
+    def __init__(self, index: CocoIndex, input_size=(600, 600),
+                 max_gt: int = 100, train: bool = True, seed: int = 0):
+        self.index = index
+        self.input_size = tuple(input_size)
+        self.max_gt = max_gt
+        self.train = train
+        self.seed = seed
+
+    def __len__(self):
+        return len(self.index.records)
+
+    def load_image(self, rec) -> np.ndarray:
+        img = Image.open(rec["image_path"]).convert("RGB")
+        return np.asarray(img, np.float32) / 255.0
+
+    def __getitem__(self, i: int):
+        rec = self.index.records[i]
+        img = self.load_image(rec)
+        boxes = rec["boxes"]
+        labels = rec["labels"]
+        rng = np.random.RandomState((self.seed * 100003 + i) % (2 ** 31))
+        tf = train_transform if self.train else eval_transform
+        img, boxes, labels = tf(img, boxes, labels, rng, size=self.input_size)
+
+        g = self.max_gt
+        out_boxes = np.zeros((g, 4), np.float32)
+        out_labels = np.zeros((g,), np.int32)
+        out_valid = np.zeros((g,), bool)
+        n = min(len(boxes), g)
+        out_boxes[:n] = boxes[:n]
+        out_labels[:n] = labels[:n]
+        out_valid[:n] = True
+        return {"image": img.astype(np.float32), "boxes": out_boxes,
+                "labels": out_labels, "valid": out_valid}
+
+
+class Loader:
+    """Threaded batch loader with background prefetch.
+
+    Iterates dicts of stacked numpy arrays: ``image [B,H,W,3]``,
+    ``boxes [B,G,4]``, ``labels [B,G]``, ``valid [B,G]``.  ``drop_last`` is
+    implied: the batch shape is static (pad-free), matching compiled graphs.
+    """
+
+    def __init__(self, dataset: DetectionDataset, batch_size: int,
+                 shuffle: bool = True, num_workers: int = 4,
+                 prefetch: int = 2, seed: int = 0,
+                 device_put: Optional[Callable] = None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(num_workers, 1)
+        self.prefetch = max(prefetch, 1)
+        self.seed = seed
+        self.epoch = 0
+        self.device_put = device_put
+
+    def __len__(self):
+        return len(self.dataset) // self.batch_size if len(self.dataset) >= self.batch_size else 1
+
+    def _epoch_order(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.RandomState(self.seed + self.epoch).shuffle(order)
+        # repeat to fill at least one full batch
+        if n < self.batch_size:
+            order = np.resize(order, self.batch_size)
+        return order
+
+    def __iter__(self) -> Iterator[dict]:
+        order = self._epoch_order()
+        n_batches = max(len(order) // self.batch_size, 1)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for b in range(n_batches):
+                    if stop.is_set():
+                        return
+                    idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+                    samples = list(pool.map(self.dataset.__getitem__, idxs))
+                    batch = {k: np.stack([s[k] for s in samples])
+                             for k in samples[0]}
+                    if self.device_put is not None:
+                        batch = self.device_put(batch)
+                    q.put(batch)
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()
+        self.epoch += 1

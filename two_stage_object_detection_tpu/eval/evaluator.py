@@ -1,0 +1,127 @@
+"""Evaluation loop: device forward + host-side metric aggregation.
+
+Equivalent of reference ``FasterRCNNTrainer.eval_fn``
+(``nets/frcnn_training.py:347-370``): iterate the eval loader through the
+training graph (losses + per-sample predictions), apply per-class NMS to the
+predictions, and accumulate mAP — with the metric math corrected
+(:mod:`.metrics`).  A second mode evaluates the *true* inference path
+(``predict``) instead, which the reference cannot do (its inference requires
+GT inputs, ``multi_inference.py:78``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, Optional, Sequence
+
+import jax
+import numpy as np
+
+from two_stage_object_detection_tpu.config import Config
+from two_stage_object_detection_tpu.eval.metrics import compute_map
+from two_stage_object_detection_tpu.nets.trainer import (
+    TrainState, eval_step, predict_step)
+from two_stage_object_detection_tpu.ops.nms import nms as nms_device
+
+
+def _per_class_nms_host(boxes, scores, labels, num_classes, iou_threshold):
+    """Per-class greedy NMS on host numpy (small arrays post-forward)."""
+    keep_idx = []
+    for c in range(1, num_classes + 1):
+        idx = np.nonzero(labels == c)[0]
+        if len(idx) == 0:
+            continue
+        b, s = boxes[idx], scores[idx]
+        order = np.argsort(-s, kind="stable").tolist()
+        while order:
+            i = order.pop(0)
+            keep_idx.append(idx[i])
+            if not order:
+                break
+            rest = np.array(order)
+            tl = np.maximum(b[i, :2], b[rest, :2])
+            br = np.minimum(b[i, 2:], b[rest, 2:])
+            wh = np.clip(br - tl, 0, None)
+            inter = wh[:, 0] * wh[:, 1]
+            area_i = (b[i, 2] - b[i, 0]) * (b[i, 3] - b[i, 1])
+            area_r = (b[rest, 2] - b[rest, 0]) * (b[rest, 3] - b[rest, 1])
+            iou = inter / (area_i + area_r - inter + 1e-8)
+            order = [o for o, v in zip(order, iou) if v <= iou_threshold]
+    keep_idx = np.asarray(sorted(keep_idx), np.int64)
+    return keep_idx
+
+
+def evaluate(state: TrainState, loader: Iterable, cfg: Config,
+             map_iou_threshold: float = 0.5, nms_iou_threshold: float = 0.7,
+             use_predict: bool = False, max_batches: Optional[int] = None):
+    """Run one eval pass -> ``(avg_loss, mAP, metrics_dict)``.
+
+    ``use_predict=False`` mirrors the reference (train-graph forward with GT
+    inputs, per-class NMS on the sampled-roi predictions); ``True`` evaluates
+    the true inference path.
+    """
+    preds, gts = [], []
+    loss_total, n_batches = 0.0, 0
+    for bi, batch in enumerate(loader):
+        if max_batches is not None and bi >= max_batches:
+            break
+        if use_predict:
+            boxes, scores, labels, valid = jax.device_get(
+                predict_step(state, batch["image"]))
+            out_losses = None
+        else:
+            out = eval_step(state, batch, jax.random.PRNGKey(bi))
+            out = jax.device_get(out)
+            loss_total += float(out["losses"]["total"])
+            boxes = out["boxes_pred"]
+            scores = out["classes_score_pred"]
+            labels = out["classes_pred"]
+            valid = out["pred_valid"]
+        n_batches += 1
+
+        gt_boxes = np.asarray(batch["boxes"])
+        gt_labels = np.asarray(batch["labels"]) + 1
+        gt_valid = np.asarray(batch["valid"])
+
+        for i in range(boxes.shape[0]):
+            v = np.asarray(valid[i])
+            b = np.asarray(boxes[i])[v]
+            s = np.asarray(scores[i])[v]
+            l = np.asarray(labels[i])[v]
+            if not use_predict:
+                # drop background argmaxes, then per-class NMS
+                # (reference frcnn_training.py:450-456)
+                fg = l > 0
+                b, s, l = b[fg], s[fg], l[fg]
+                if len(b):
+                    keep = _per_class_nms_host(b, s, l, cfg.num_classes,
+                                               nms_iou_threshold)
+                    b, s, l = b[keep], s[keep], l[keep]
+            preds.append((b, s, l))
+            gv = gt_valid[i]
+            gts.append((gt_boxes[i][gv], gt_labels[i][gv]))
+
+    metrics = compute_map(preds, gts, cfg.num_classes,
+                          iou_threshold=map_iou_threshold)
+    avg_loss = loss_total / max(n_batches, 1)
+    return avg_loss, metrics["mAP"], metrics
+
+
+def evaluate_sweep(state: TrainState, loader_fn, cfg: Config,
+                   thresholds: Sequence[float] = tuple(np.arange(0.5, 1.0, 0.05)),
+                   **kw) -> Dict[str, float]:
+    """mAP@{.5, .95, .5:.95} sweep (reference ``train/train.py:97-117``).
+
+    ``loader_fn``: zero-arg callable returning a fresh eval iterator.
+    """
+    total, m50, m95, loss_sum = 0.0, 0.0, 0.0, 0.0
+    for t in thresholds:
+        loss, m, _ = evaluate(state, loader_fn(), cfg, map_iou_threshold=float(t), **kw)
+        total += m
+        loss_sum += loss
+        if abs(t - 0.5) < 1e-6:
+            m50 = m
+        if abs(t - 0.95) < 1e-6:
+            m95 = m
+    n = len(tuple(thresholds))
+    return {"mAP50": m50, "mAP95": m95, "mAP50_95": total / n,
+            "eval_loss": loss_sum / n}

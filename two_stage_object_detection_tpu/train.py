@@ -1,0 +1,128 @@
+"""Training driver.
+
+Equivalent of reference ``train/train.py:38-180`` with the same surface:
+epoch loop with tqdm, gradient accumulation, periodic eval sweep over IoU
+thresholds 0.5:0.05:0.95 -> mAP@{.5,.95,.5:.95}, best/last checkpoints, and
+the EMA-smoothed loss plots — but the whole optimisation step is one jitted
+XLA program and the input pipeline feeds fixed-shape device batches.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from two_stage_object_detection_tpu.config import Config, load_config
+from two_stage_object_detection_tpu.data.coco import load_coco
+from two_stage_object_detection_tpu.data.pipeline import DetectionDataset, Loader
+from two_stage_object_detection_tpu.eval.evaluator import evaluate_sweep
+from two_stage_object_detection_tpu.nets.trainer import (
+    create_train_state, train_step)
+from two_stage_object_detection_tpu.utils import checkpoint as ckpt
+from two_stage_object_detection_tpu.utils.draw import plot_training_metrics
+from two_stage_object_detection_tpu.utils.utils import set_seed, update_ema
+
+logging.basicConfig(level=logging.INFO)
+log = logging.getLogger(__name__)
+
+
+def build_loaders(cfg: Config, data_root: str = "data"):
+    """COCO loaders following the reference's path layout
+    (``dataset/data_organise.py:13-15``: ``data/annotations/instances_{split}2017.json``)."""
+    train_idx = load_coco(
+        os.path.join(data_root, "annotations", "instances_train2017.json"),
+        os.path.join(data_root, "train2017"), ratio=cfg.train_ratio)
+    eval_idx = load_coco(
+        os.path.join(data_root, "annotations", "instances_val2017.json"),
+        os.path.join(data_root, "val2017"), ratio=cfg.eval_ratio)
+    train_ds = DetectionDataset(train_idx, cfg.input_size, cfg.max_gt_boxes,
+                                train=True)
+    eval_ds = DetectionDataset(eval_idx, cfg.input_size, cfg.max_gt_boxes,
+                               train=False)
+    mk = lambda ds, sh: Loader(ds, cfg.batch_size, shuffle=sh,
+                               num_workers=cfg.num_workers,
+                               prefetch=cfg.prefetch_factor)
+    return mk(train_ds, True), mk(eval_ds, False), eval_idx
+
+
+def train(visualization: bool = True, cfg: Optional[Config] = None,
+          data_root: str = "data", weights_dir: str = "weights",
+          pre_train: bool = False, eval_period: int = 10, seed: int = 42):
+    """Run the full training loop (reference ``train()`` signature kept)."""
+    cfg = cfg or load_config()
+    set_seed(seed)
+    rng = jax.random.PRNGKey(seed)
+
+    train_loader, eval_loader, _ = build_loaders(cfg, data_root)
+    steps_per_epoch = max(len(train_loader), 1)
+
+    rng, init_rng = jax.random.split(rng)
+    model, state = create_train_state(cfg, init_rng,
+                                      steps_per_epoch=steps_per_epoch)
+    os.makedirs(weights_dir, exist_ok=True)
+
+    if pre_train:
+        restored = ckpt.restore_checkpoint(weights_dir, state, name=ckpt.BEST,
+                                           params_only=True)
+        if restored is not None:
+            state = restored
+            log.info("✅ Successfully loaded pretrained model")
+
+    try:
+        from tqdm import tqdm
+    except ImportError:  # pragma: no cover
+        tqdm = lambda it, **kw: it
+
+    train_loss, eval_loss = [], []
+    mAP50_list, mAP50_95_list, mAP95_list = [], [], []
+    min_eval_loss = float("inf")   # global best (the reference resets this
+    # every eval round, train/train.py:95,120 — quirk #9, fixed)
+
+    for epoch in range(cfg.num_epochs):
+        loop = tqdm(train_loader, total=steps_per_epoch,
+                    desc=f"Epoch {epoch + 1}/{cfg.num_epochs}", colour="green")
+        for batch in loop:
+            rng, step_rng = jax.random.split(rng)
+            state, losses = train_step(state, batch, step_rng)
+            train_loss.append(float(losses["total"]))
+
+        if epoch % eval_period == 0:
+            sweep = evaluate_sweep(state, lambda: iter(eval_loader), cfg)
+            mAP50_list.append(sweep["mAP50"])
+            mAP95_list.append(sweep["mAP95"])
+            mAP50_95_list.append(sweep["mAP50_95"])
+            eval_loss.append(sweep["eval_loss"])
+            if sweep["eval_loss"] < min_eval_loss:
+                min_eval_loss = sweep["eval_loss"]
+                ckpt.save_checkpoint(weights_dir, state, name=ckpt.BEST)
+                log.info("✅ Best model saved to %s", weights_dir)
+            log.info("eval: mAP_50%%: %.4f, mAP_50%%_95%%: %.4f, mAP_95%%: %.4f",
+                     sweep["mAP50"], sweep["mAP50_95"], sweep["mAP95"])
+
+    ckpt.save_checkpoint(weights_dir, state, name=ckpt.LAST)
+    log.info("✅ Last model saved to %s", weights_dir)
+
+    if visualization and train_loss:
+        ema_alpha = 0.01
+        ema_train = []
+        for i, v in enumerate(train_loss):
+            ema_train.append(v if i == 0 else update_ema(v, ema_alpha, ema_train[-1]))
+        ema_eval = []
+        for i, v in enumerate(eval_loss):
+            ema_eval.append(v if i == 0 else update_ema(v, ema_alpha, ema_eval[-1]))
+        plot_training_metrics(
+            epoch_num=cfg.num_epochs, step_num=list(range(len(train_loss))),
+            train_loss=train_loss, ema_train_loss=ema_train,
+            eval_loss=eval_loss, ema_eval_loss=ema_eval,
+            mAP50_list=mAP50_list, mAP50_95_list=mAP50_95_list,
+            mAP95_list=mAP95_list)
+
+    return state
+
+
+if __name__ == "__main__":
+    train()
