@@ -47,17 +47,17 @@ def main():
                                 (BATCH, *cfg.input_size, 3), jnp.float32)
 
     t0 = time.perf_counter()
-    out = predict(variables, images)
-    jax.block_until_ready(out)
+    out = jax.device_get(predict(variables, images))
     print(f"compile+first run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    # warmup
-    jax.block_until_ready(predict(variables, images))
+    # warmup (jax.device_get rather than block_until_ready: the axon remote
+    # runtime acks block_until_ready before execution finishes, so only a
+    # host roundtrip of the outputs gives honest timings)
+    jax.device_get(predict(variables, images))
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = predict(variables, images)
-    jax.block_until_ready(out)
+        out = jax.device_get(predict(variables, images))
     dt = (time.perf_counter() - t0) / ITERS
     ips = BATCH / dt
     print(f"batched inference: {dt * 1000:.2f} ms/batch of {BATCH} "

@@ -35,13 +35,13 @@ def test_param_sharding_rules():
     mesh = make_mesh(n_data=4, n_model=2)
     params = {
         "Dense_0": {"kernel": jnp.zeros((64, 128)), "bias": jnp.zeros((128,))},
-        "Conv_0": {"kernel": jnp.zeros((3, 3, 16, 32))},
+        "Conv_0": {"kernel": jnp.zeros((3, 3, 16, 32))},   # convs replicated
         "odd": {"kernel": jnp.zeros((64, 127))},   # indivisible -> replicated
     }
     sh = infer_param_sharding(params, mesh)
     assert sh["Dense_0"]["kernel"].spec == jax.sharding.PartitionSpec(None, "model")
     assert sh["Dense_0"]["bias"].spec == jax.sharding.PartitionSpec()
-    assert sh["Conv_0"]["kernel"].spec == jax.sharding.PartitionSpec(None, None, None, "model")
+    assert sh["Conv_0"]["kernel"].spec == jax.sharding.PartitionSpec()
     assert sh["odd"]["kernel"].spec == jax.sharding.PartitionSpec()
 
 

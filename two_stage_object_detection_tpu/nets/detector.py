@@ -204,31 +204,33 @@ class FasterRCNN(nn.Module):
 
         n_class = cfg.num_classes + 1
         r = rois.shape[1]
-        locs4 = roi_cls_locs.reshape(-1, r, n_class, 4)
         probs = jax.nn.softmax(roi_scores, axis=-1)         # [B, R, C]
+        n_cand = min(4 * cfg.max_detections, r * (n_class - 1))
 
         def per_image(rois_i, valid_i, locs_i, probs_i):
-            # decode every class's boxes: [R, C, 4]
-            boxes = jax.vmap(lambda c: loc2bbox(rois_i, locs_i[:, c, :]))(
-                jnp.arange(n_class))                        # [C, R, 4]
+            # decode all classes at once via the strided-layout loc2bbox,
+            # then class-aware NMS in ONE pass: take the top-k scoring
+            # (box, class) candidates and offset each box by its class so
+            # different classes can never suppress each other
+            boxes = loc2bbox(rois_i, locs_i)                # [R, C*4]
             boxes = clip_boxes(boxes, img_size)
+            boxes = boxes.reshape(r, n_class, 4)[:, 1:, :]  # drop background
+            fg = probs_i[:, 1:]                             # [R, C-1]
 
-            def per_class(c_boxes, c_scores):
-                ok = valid_i & (c_scores >= cfg.score_thresh)
-                idx, keep = nms(c_boxes, c_scores, cfg.predict_nms_iou,
-                                cfg.max_detections, valid=ok)
-                return c_boxes[idx], c_scores[idx], keep
+            ok = valid_i[:, None] & (fg >= cfg.score_thresh)
+            flat_scores = jnp.where(ok, fg, -1.0).reshape(-1)
+            cand_scores, cand = jax.lax.top_k(flat_scores, n_cand)
+            cand_boxes = boxes.reshape(-1, 4)[cand]
+            cand_labels = cand % (n_class - 1) + 1          # 1-based classes
+            cand_valid = cand_scores > 0
 
-            # foreground classes only (class 0 = background)
-            cb, cs, ck = jax.vmap(per_class)(
-                boxes[1:], probs_i.T[1:])                   # [C-1, max_det, ...]
-            labels = jnp.broadcast_to(
-                jnp.arange(1, n_class)[:, None], ck.shape)
-            flat_scores = jnp.where(ck, cs, -1.0).reshape(-1)
-            top_scores, top = jax.lax.top_k(flat_scores, cfg.max_detections)
-            flat_boxes = cb.reshape(-1, 4)
-            flat_labels = labels.reshape(-1)
-            return (flat_boxes[top], top_scores, flat_labels[top],
-                    top_scores > 0)
+            span = float(max(img_size)) + 2.0
+            offset = cand_labels.astype(jnp.float32) * span
+            idx, keep = nms(cand_boxes + offset[:, None], cand_scores,
+                            cfg.predict_nms_iou, cfg.max_detections,
+                            valid=cand_valid)
+            kf = keep.astype(jnp.float32)
+            return (cand_boxes[idx] * kf[:, None], cand_scores[idx] * kf,
+                    cand_labels[idx] * keep, keep)
 
-        return jax.vmap(per_image)(rois, roi_valid, locs4, probs)
+        return jax.vmap(per_image)(rois, roi_valid, roi_cls_locs, probs)

@@ -13,11 +13,16 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def _spec_for(path: str, ndim: int, model_axis: str) -> P:
+def _spec_for(path: str, shape, model_axis: str) -> P:
+    ndim = len(shape)
     if ndim == 2 and ("Dense" in path or "cls_loc" in path or "score" in path):
         return P(None, model_axis)            # [in, out] -> split out features
-    if ndim == 4:
-        return P(None, None, None, model_axis)  # conv [kh, kw, in, out]
+    # Backbone convs stay replicated: the HarDNet trunk is depthwise-grouped
+    # throughout, and sharding any neighbouring 1x1 conv's output features
+    # propagates a channel sharding into the grouped convs, which XLA's SPMD
+    # partitioner cannot split (feature_group_count must divide the local
+    # shard).  Tensor parallelism therefore lives in the dense heads, where
+    # the big per-roi matmuls are.
     return P()
 
 
@@ -32,7 +37,7 @@ def infer_param_sharding(params, mesh: Mesh, model_axis: str = "model"):
                             for p in path)
         if mesh.shape[model_axis] == 1:
             return NamedSharding(mesh, P())
-        spec = _spec_for(path_str, leaf.ndim, model_axis)
+        spec = _spec_for(path_str, leaf.shape, model_axis)
         # only shard if the split axis is divisible
         for ax, name in enumerate(spec):
             if name is not None and leaf.shape[ax] % mesh.shape[name] != 0:
