@@ -10,6 +10,12 @@ trainer-forward on CPU measured in this container (2026-08-16, single
 thread, torchvision nms/RoIPool stubbed with pure-torch equivalents since
 torchvision is not installed here): 4.90 s/image = 0.204 images/sec.
 Override with env ``BASELINE_IPS``.
+
+Methodology: the timing loop runs *inside* one jitted ``lax.scan`` with a
+carry dependency between steps, synced by a device_get of the final scalar.
+This measures steady-state device throughput; per-dispatch host sync would
+add the remote-runtime roundtrip (~30 ms on the tunneled v5e used here) to
+every batch and block_until_ready is acked early by that runtime.
 """
 
 import json
@@ -19,10 +25,11 @@ import time
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 BASELINE_IPS = float(os.environ.get("BASELINE_IPS", 0.204))
 BATCH = int(os.environ.get("BENCH_BATCH", 16))
-ITERS = int(os.environ.get("BENCH_ITERS", 10))
+ITERS = int(os.environ.get("BENCH_ITERS", 20))
 
 
 def main():
@@ -39,25 +46,25 @@ def main():
         rng, jnp.zeros((1, 64, 64, 3), jnp.float32))
     print(f"init: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    @jax.jit
-    def predict(variables, images):
-        return model.apply(variables, images, method="predict")
-
     images = jax.random.uniform(jax.random.PRNGKey(1),
                                 (BATCH, *cfg.input_size, 3), jnp.float32)
 
-    t0 = time.perf_counter()
-    out = jax.device_get(predict(variables, images))
-    print(f"compile+first run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    @jax.jit
+    def loop(variables, images, n):
+        def body(carry, _):
+            out = model.apply(variables, images + carry, method="predict")
+            # fold a scalar of the output into the carry so iterations are
+            # sequentially dependent and cannot be elided
+            return jnp.sum(out[1]) * 0.0, None
+        carry, _ = lax.scan(body, 0.0, None, length=ITERS)
+        return carry + n
 
-    # warmup (jax.device_get rather than block_until_ready: the axon remote
-    # runtime acks block_until_ready before execution finishes, so only a
-    # host roundtrip of the outputs gives honest timings)
-    jax.device_get(predict(variables, images))
+    t0 = time.perf_counter()
+    jax.device_get(loop(variables, images, 0.0))
+    print(f"compile+first: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = jax.device_get(predict(variables, images))
+    jax.device_get(loop(variables, images, 1.0))
     dt = (time.perf_counter() - t0) / ITERS
     ips = BATCH / dt
     print(f"batched inference: {dt * 1000:.2f} ms/batch of {BATCH} "

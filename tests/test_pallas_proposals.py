@@ -1,0 +1,75 @@
+"""Fused Pallas proposal kernel vs the jnp reference path (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from two_stage_object_detection_tpu.nets.rpn import create_proposals
+from two_stage_object_detection_tpu.ops.anchors import (
+    enumerate_shifted_anchor, generate_basic_anchor)
+from two_stage_object_detection_tpu.ops.pallas_proposals import fused_proposals
+
+
+def _anchors(h=4, w=4):
+    base = generate_basic_anchor(base_size=2, ratios=(0.5, 1.0, 2.0),
+                                 anchor_scales=(4.0, 8.0))
+    return jnp.array(enumerate_shifted_anchor(base, 16, h, w))
+
+
+def test_fused_matches_reference(rng):
+    anchors = _anchors()
+    n = anchors.shape[0]
+    locs = jnp.array(rng.randn(n, 4).astype(np.float32) * 0.1)
+    scores = jnp.array(rng.rand(n).astype(np.float32))
+
+    ref = create_proposals(locs, scores, anchors, (64, 64), nms_iou=0.7,
+                           n_pre_nms=n, n_post_nms=16, min_size=2.0)
+    got = fused_proposals(locs, scores, anchors, (64, 64), nms_iou=0.7,
+                          n_post_nms=16, min_size=2.0, interpret=True)
+
+    ref_boxes, ref_scores, ref_valid = map(np.asarray, ref)
+    got_boxes, got_scores, got_valid = map(np.asarray, got)
+    np.testing.assert_array_equal(got_valid, ref_valid)
+    np.testing.assert_allclose(got_scores[got_valid], ref_scores[ref_valid],
+                               rtol=1e-5)
+    np.testing.assert_allclose(got_boxes[got_valid], ref_boxes[ref_valid],
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_fused_min_size_filters_everything(rng):
+    anchors = _anchors()
+    n = anchors.shape[0]
+    locs = jnp.zeros((n, 4)).at[:, 2:].set(-6.0)   # shrink all boxes
+    scores = jnp.array(rng.rand(n).astype(np.float32))
+    _, _, valid = fused_proposals(locs, scores, anchors, (64, 64),
+                                  nms_iou=0.7, n_post_nms=16, min_size=16.0,
+                                  interpret=True)
+    assert not np.asarray(valid).any()
+
+
+def test_fused_output_is_score_sorted(rng):
+    anchors = _anchors(6, 6)
+    n = anchors.shape[0]
+    locs = jnp.array(rng.randn(n, 4).astype(np.float32) * 0.05)
+    scores = jnp.array(rng.rand(n).astype(np.float32))
+    _, out_scores, valid = fused_proposals(locs, scores, anchors, (96, 96),
+                                           nms_iou=0.5, n_post_nms=32,
+                                           min_size=1.0, interpret=True)
+    s = np.asarray(out_scores)[np.asarray(valid)]
+    assert (s[:-1] >= s[1:]).all()
+
+
+def test_fused_vmap(rng):
+    anchors = _anchors()
+    n = anchors.shape[0]
+    locs = jnp.array(rng.randn(2, n, 4).astype(np.float32) * 0.1)
+    scores = jnp.array(rng.rand(2, n).astype(np.float32))
+    fn = lambda l, s: fused_proposals(l, s, anchors, (64, 64), nms_iou=0.7,
+                                      n_post_nms=8, min_size=2.0,
+                                      interpret=True)
+    rois_b, scores_b, valid_b = jax.vmap(fn)(locs, scores)
+    assert rois_b.shape == (2, 8, 4)
+    for i in range(2):
+        r, s, v = fn(locs[i], scores[i])
+        np.testing.assert_allclose(np.asarray(rois_b[i]), np.asarray(r),
+                                   rtol=1e-5)

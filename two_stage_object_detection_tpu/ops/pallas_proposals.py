@@ -1,0 +1,175 @@
+"""Pallas TPU kernel: fused proposal generation.
+
+Fuses the whole RPN proposal hot path — box decode, clamp-to-image,
+min-size filtering, and greedy NMS — into one VMEM-resident kernel
+(BASELINE.md north-star: "the proposal hot path ... fused into Pallas
+kernels with static padded shapes").
+
+Key design point: **no sort**.  Greedy NMS picks the highest-scoring
+still-alive box each step; with scores in VMEM that is an ``argmax`` over a
+masked score vector, so the score-sort (and the reference's top-12000
+pre-NMS truncation, ``nets/rpn.py:57-61``) disappears — each of the
+``n_post`` steps is a handful of vector passes over all ~13k anchors held
+entirely in VMEM (13k anchors x 9 rows of f32 ~ 0.5 MB).
+
+Data layout: coordinates live in *rows* (``[4, N]`` transposed boxes) so
+every step is a ``[1, N]`` lane-aligned vector op; the selected box's
+coordinates are extracted with a one-hot reduction instead of a dynamic
+lane gather.
+
+Semantics match :func:`...nets.rpn.create_proposals` + the jnp NMS
+(strict-greater IoU suppression), minus pre-NMS truncation (which only
+reorders ties beyond the 12000th candidate).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e9
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _fused_kernel(locs_ref, scores_ref, anchors_ref,
+                  boxes_out_ref, scores_out_ref, valid_out_ref,
+                  *, n_post: int, iou_threshold: float, min_size: float,
+                  img_h: float, img_w: float):
+    n = locs_ref.shape[1]
+
+    ax1 = anchors_ref[0:1, :]
+    ay1 = anchors_ref[1:2, :]
+    ax2 = anchors_ref[2:3, :]
+    ay2 = anchors_ref[3:4, :]
+    aw = ax2 - ax1
+    ah = ay2 - ay1
+    acx = ax1 + 0.5 * aw
+    acy = ay1 + 0.5 * ah
+
+    dx = locs_ref[0:1, :]
+    dy = locs_ref[1:2, :]
+    dw = locs_ref[2:3, :]
+    dh = locs_ref[3:4, :]
+
+    cx = dx * aw + acx
+    cy = dy * ah + acy
+    w = jnp.exp(dw) * aw
+    h = jnp.exp(dh) * ah
+
+    x1 = jnp.clip(cx - 0.5 * w, 0.0, img_w)
+    y1 = jnp.clip(cy - 0.5 * h, 0.0, img_h)
+    x2 = jnp.clip(cx + 0.5 * w, 0.0, img_w)
+    y2 = jnp.clip(cy + 0.5 * h, 0.0, img_h)
+
+    bw = x2 - x1
+    bh = y2 - y1
+    area = bw * bh
+    ok = (bw >= min_size) & (bh >= min_size)
+    s = jnp.where(ok, scores_ref[0:1, :], NEG)
+
+    lane = lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    k_pad = boxes_out_ref.shape[1]
+    out_lane = lax.broadcasted_iota(jnp.int32, (1, k_pad), 1)
+
+    def body(k, carry):
+        # output rows are accumulated in the carry with one-hot selects
+        # (Mosaic cannot store scalars to VMEM) and written once at the end
+        s_alive, ox1, oy1, ox2, oy2, osc, oval = carry
+        i = jnp.argmax(s_alive)                       # flat index in [1, N]
+        one_hot = (lane == i.astype(jnp.int32)).astype(jnp.float32)
+        sc = jnp.sum(s_alive * one_hot)
+        valid = sc > NEG / 2
+
+        bx1 = jnp.sum(x1 * one_hot)
+        by1 = jnp.sum(y1 * one_hot)
+        bx2 = jnp.sum(x2 * one_hot)
+        by2 = jnp.sum(y2 * one_hot)
+        barea = jnp.sum(area * one_hot)
+
+        ix1 = jnp.maximum(x1, bx1)
+        iy1 = jnp.maximum(y1, by1)
+        ix2 = jnp.minimum(x2, bx2)
+        iy2 = jnp.minimum(y2, by2)
+        inter = jnp.maximum(ix2 - ix1, 0.0) * jnp.maximum(iy2 - iy1, 0.0)
+        iou = inter / (area + barea - inter + 1e-8)
+
+        suppress = (iou > iou_threshold) | (one_hot > 0.0)
+        s_alive = jnp.where(suppress, NEG, s_alive)
+
+        vf = valid.astype(jnp.float32)
+        sel = out_lane == k
+        ox1 = jnp.where(sel, bx1 * vf, ox1)
+        oy1 = jnp.where(sel, by1 * vf, oy1)
+        ox2 = jnp.where(sel, bx2 * vf, ox2)
+        oy2 = jnp.where(sel, by2 * vf, oy2)
+        osc = jnp.where(sel, sc * vf, osc)
+        oval = jnp.where(sel, valid.astype(jnp.int32), oval)
+        return s_alive, ox1, oy1, ox2, oy2, osc, oval
+
+    zf = jnp.zeros((1, k_pad), jnp.float32)
+    zi = jnp.zeros((1, k_pad), jnp.int32)
+    _, ox1, oy1, ox2, oy2, osc, oval = lax.fori_loop(
+        0, n_post, body, (s, zf, zf, zf, zf, zf, zi))
+    boxes_out_ref[0:1, :] = ox1
+    boxes_out_ref[1:2, :] = oy1
+    boxes_out_ref[2:3, :] = ox2
+    boxes_out_ref[3:4, :] = oy2
+    scores_out_ref[0:1, :] = osc
+    valid_out_ref[0:1, :] = oval
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "img_size", "nms_iou", "n_post_nms", "min_size", "interpret"))
+def fused_proposals(rpn_locs: jnp.ndarray, rpn_fg_scores: jnp.ndarray,
+                    anchors: jnp.ndarray, img_size, *, nms_iou: float,
+                    n_post_nms: int, min_size: float,
+                    interpret: bool = False):
+    """Fused decode+clamp+filter+NMS for one image.
+
+    Args:
+      rpn_locs: ``[N, 4]`` deltas.  rpn_fg_scores: ``[N]``.
+      anchors: ``[N, 4]`` xyxy.  img_size: static ``(H, W)``.
+
+    Returns:
+      ``(rois [n_post, 4], scores [n_post], valid [n_post])`` — same contract
+      as :func:`...nets.rpn.create_proposals`.
+    """
+    n = rpn_locs.shape[0]
+    n_pad = _round_up(n, 128)
+    pad = n_pad - n
+
+    locs_t = jnp.pad(rpn_locs, ((0, pad), (0, 0))).T          # [4, Np]
+    anchors_t = jnp.pad(anchors.astype(jnp.float32),
+                        ((0, pad), (0, 0)), constant_values=1.0).T
+    scores_p = jnp.pad(rpn_fg_scores, (0, pad),
+                       constant_values=NEG)[None, :]          # [1, Np]
+
+    kernel = functools.partial(
+        _fused_kernel, n_post=n_post_nms, iou_threshold=nms_iou,
+        min_size=min_size, img_h=float(img_size[0]), img_w=float(img_size[1]))
+
+    k_pad = _round_up(n_post_nms, 128)
+    boxes_t, scores_o, valid_o = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((4, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, k_pad), jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 3,
+        interpret=interpret,
+    )(locs_t.astype(jnp.float32), scores_p.astype(jnp.float32), anchors_t)
+
+    rois = boxes_t[:, :n_post_nms].T
+    return (rois, scores_o[0, :n_post_nms],
+            valid_o[0, :n_post_nms].astype(bool))
