@@ -1,0 +1,311 @@
+// Native image preprocessing for the data pipeline.
+//
+// The reference delegates decode/resize to PIL inside 12 torch DataLoader
+// worker processes (dataset/dataloader.py:63-87).  This library is the
+// framework's native equivalent: libjpeg/libpng decode plus a fused
+// bilinear-resize-and-normalise, exposed as a C ABI consumed via ctypes
+// (two_stage_object_detection_tpu/data/native.py).  Single-pass, cache
+// friendly, no Python in the inner loop.
+//
+// Build: make -C native   (g++ -O3 -shared -fPIC, links libjpeg + libpng)
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <csetjmp>
+
+#include <jpeglib.h>
+#include <png.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------- decode
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jb;
+};
+
+static void jpeg_err_exit(j_common_ptr cinfo) {
+  JpegErr* e = reinterpret_cast<JpegErr*>(cinfo->err);
+  longjmp(e->jb, 1);
+}
+
+// Decode a JPEG byte buffer to RGB u8.  Returns malloc'd buffer (caller
+// frees via free_buffer) or nullptr; writes height/width.
+uint8_t* decode_jpeg(const uint8_t* data, size_t len, int* h, int* w) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  uint8_t* out = nullptr;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    free(out);
+    return nullptr;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), len);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  *h = cinfo.output_height;
+  *w = cinfo.output_width;
+  size_t stride = size_t(*w) * 3;
+  out = static_cast<uint8_t*>(malloc(stride * size_t(*h)));
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out + stride * cinfo.output_scanline;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return out;
+}
+
+struct PngReadState {
+  const uint8_t* data;
+  size_t len;
+  size_t pos;
+};
+
+static void png_read_fn(png_structp png, png_bytep dst, png_size_t n) {
+  PngReadState* s = static_cast<PngReadState*>(png_get_io_ptr(png));
+  if (s->pos + n > s->len) {
+    png_error(png, "png: read past end");
+  }
+  memcpy(dst, s->data + s->pos, n);
+  s->pos += n;
+}
+
+// Decode a PNG byte buffer to RGB u8 (alpha stripped, palette expanded).
+uint8_t* decode_png(const uint8_t* data, size_t len, int* h, int* w) {
+  if (len < 8 || png_sig_cmp(data, 0, 8)) return nullptr;
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                           nullptr, nullptr);
+  if (!png) return nullptr;
+  png_infop info = png_create_info_struct(png);
+  uint8_t* out = nullptr;
+  png_bytep* rows = nullptr;
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    free(rows);
+    free(out);
+    return nullptr;
+  }
+  PngReadState st{data, len, 0};
+  png_set_read_fn(png, &st, png_read_fn);
+  png_read_info(png, info);
+  png_set_expand(png);                // palette/gray -> 8-bit
+  png_set_strip_16(png);
+  png_set_strip_alpha(png);
+  png_set_gray_to_rgb(png);
+  png_read_update_info(png, info);
+  *h = png_get_image_height(png, info);
+  *w = png_get_image_width(png, info);
+  size_t stride = size_t(*w) * 3;
+  out = static_cast<uint8_t*>(malloc(stride * size_t(*h)));
+  rows = static_cast<png_bytep*>(malloc(sizeof(png_bytep) * size_t(*h)));
+  for (int y = 0; y < *h; ++y) rows[y] = out + stride * size_t(y);
+  png_read_image(png, rows);
+  png_destroy_read_struct(&png, &info, nullptr);
+  free(rows);
+  return out;
+}
+
+// Dispatch on magic bytes.
+uint8_t* decode_image(const uint8_t* data, size_t len, int* h, int* w) {
+  if (len >= 3 && data[0] == 0xFF && data[1] == 0xD8) {
+    return decode_jpeg(data, len, h, w);
+  }
+  if (len >= 8 && data[0] == 0x89 && data[1] == 'P') {
+    return decode_png(data, len, h, w);
+  }
+  return nullptr;
+}
+
+void free_buffer(uint8_t* p) { free(p); }
+
+// ------------------------------------------------------- resize/normalise
+
+// Separable antialiased triangle (bilinear) resize, PIL-equivalent: the
+// filter support scales with the downsampling ratio, so downscales average
+// over the full source footprint instead of point-sampling (torchvision v2
+// Resize(antialias=True) semantics, which the reference's transform uses).
+struct FilterTable {
+  int* xmin;      // [dsize] first source index
+  int* xcount;    // [dsize] number of taps
+  float* weights; // [dsize * max_taps]
+  int max_taps;
+};
+
+static FilterTable build_triangle_table(int ssize, int dsize) {
+  const double scale = double(ssize) / double(dsize);
+  const double fscale = scale > 1.0 ? scale : 1.0;
+  const double support = 1.0 * fscale;
+  int max_taps = int(support * 2 + 2);
+  FilterTable t;
+  t.xmin = static_cast<int*>(malloc(sizeof(int) * dsize));
+  t.xcount = static_cast<int*>(malloc(sizeof(int) * dsize));
+  t.weights = static_cast<float*>(malloc(sizeof(float) * size_t(dsize) * max_taps));
+  t.max_taps = max_taps;
+  for (int x = 0; x < dsize; ++x) {
+    double center = (x + 0.5) * scale;
+    int lo = int(center - support + 0.5);
+    if (lo < 0) lo = 0;
+    int hi = int(center + support + 0.5);
+    if (hi > ssize) hi = ssize;
+    int n = hi - lo;
+    float* w = t.weights + size_t(x) * max_taps;
+    double total = 0.0;
+    for (int i = 0; i < n; ++i) {
+      double arg = (lo + i + 0.5 - center) / fscale;
+      double v = arg < 0 ? -arg : arg;
+      double tri = v < 1.0 ? 1.0 - v : 0.0;
+      w[i] = float(tri);
+      total += tri;
+    }
+    for (int i = 0; i < n; ++i) w[i] = total > 0 ? float(w[i] / total) : 0.0f;
+    t.xmin[x] = lo;
+    t.xcount[x] = n;
+  }
+  return t;
+}
+
+static void free_table(FilterTable& t) {
+  free(t.xmin);
+  free(t.xcount);
+  free(t.weights);
+}
+
+void resize_bilinear_normalize(const uint8_t* src, int sh, int sw,
+                               float* dst, int dh, int dw) {
+  FilterTable tx = build_triangle_table(sw, dw);
+  FilterTable ty = build_triangle_table(sh, dh);
+
+  // horizontal pass: [sh, sw] u8 -> [sh, dw] f32 (normalised)
+  float* tmp = static_cast<float*>(malloc(sizeof(float) * size_t(sh) * dw * 3));
+  for (int y = 0; y < sh; ++y) {
+    const uint8_t* row = src + size_t(y) * sw * 3;
+    float* out = tmp + size_t(y) * dw * 3;
+    for (int x = 0; x < dw; ++x) {
+      const float* w = tx.weights + size_t(x) * tx.max_taps;
+      int lo = tx.xmin[x], n = tx.xcount[x];
+      float acc0 = 0, acc1 = 0, acc2 = 0;
+      for (int i = 0; i < n; ++i) {
+        const uint8_t* p = row + size_t(lo + i) * 3;
+        acc0 += w[i] * p[0];
+        acc1 += w[i] * p[1];
+        acc2 += w[i] * p[2];
+      }
+      out[x * 3 + 0] = acc0 * (1.0f / 255.0f);
+      out[x * 3 + 1] = acc1 * (1.0f / 255.0f);
+      out[x * 3 + 2] = acc2 * (1.0f / 255.0f);
+    }
+  }
+
+  // vertical pass: [sh, dw] -> [dh, dw]
+  for (int y = 0; y < dh; ++y) {
+    const float* w = ty.weights + size_t(y) * ty.max_taps;
+    int lo = ty.xmin[y], n = ty.xcount[y];
+    float* out = dst + size_t(y) * dw * 3;
+    memset(out, 0, sizeof(float) * size_t(dw) * 3);
+    for (int i = 0; i < n; ++i) {
+      const float* row = tmp + size_t(lo + i) * dw * 3;
+      float wi = w[i];
+      for (int x = 0; x < dw * 3; ++x) out[x] += wi * row[x];
+    }
+  }
+
+  free(tmp);
+  free_table(tx);
+  free_table(ty);
+}
+
+// Fused: decode bytes -> bilinear resize -> normalised float32 HWC.
+// Writes original dims to oh/ow (for box rescaling).  Returns 0 on success.
+int decode_resize_normalize(const uint8_t* data, size_t len,
+                            float* dst, int dh, int dw, int* oh, int* ow) {
+  int h = 0, w = 0;
+  uint8_t* rgb = decode_image(data, len, &h, &w);
+  if (!rgb) return -1;
+  resize_bilinear_normalize(rgb, h, w, dst, dh, dw);
+  free(rgb);
+  *oh = h;
+  *ow = w;
+  return 0;
+}
+
+// Same separable triangle resize for float32 HWC input (values preserved,
+// no renormalisation) — used mid-augmentation-chain.
+void resize_f32(const float* src, int sh, int sw,
+                float* dst, int dh, int dw) {
+  FilterTable tx = build_triangle_table(sw, dw);
+  FilterTable ty = build_triangle_table(sh, dh);
+  float* tmp = static_cast<float*>(malloc(sizeof(float) * size_t(sh) * dw * 3));
+  for (int y = 0; y < sh; ++y) {
+    const float* row = src + size_t(y) * sw * 3;
+    float* out = tmp + size_t(y) * dw * 3;
+    for (int x = 0; x < dw; ++x) {
+      const float* w = tx.weights + size_t(x) * tx.max_taps;
+      int lo = tx.xmin[x], n = tx.xcount[x];
+      float a0 = 0, a1 = 0, a2 = 0;
+      for (int i = 0; i < n; ++i) {
+        const float* p = row + size_t(lo + i) * 3;
+        a0 += w[i] * p[0];
+        a1 += w[i] * p[1];
+        a2 += w[i] * p[2];
+      }
+      out[x * 3] = a0;
+      out[x * 3 + 1] = a1;
+      out[x * 3 + 2] = a2;
+    }
+  }
+  for (int y = 0; y < dh; ++y) {
+    const float* w = ty.weights + size_t(y) * ty.max_taps;
+    int lo = ty.xmin[y], n = ty.xcount[y];
+    float* out = dst + size_t(y) * dw * 3;
+    memset(out, 0, sizeof(float) * size_t(dw) * 3);
+    for (int i = 0; i < n; ++i) {
+      const float* row = tmp + size_t(lo + i) * dw * 3;
+      float wi = w[i];
+      for (int x = 0; x < dw * 3; ++x) out[x] += wi * row[x];
+    }
+  }
+  free(tmp);
+  free_table(tx);
+  free_table(ty);
+}
+
+// Decode into a caller-provided buffer.  Returns 0 on success, -1 on decode
+// failure, -2 if the buffer is too small (dims are still written, so the
+// caller can grow and retry).
+int decode_into(const uint8_t* data, size_t len, uint8_t* dst,
+                size_t capacity, int* h, int* w) {
+  uint8_t* rgb = decode_image(data, len, h, w);
+  if (!rgb) return -1;
+  size_t need = size_t(*h) * size_t(*w) * 3;
+  if (need > capacity) {
+    free(rgb);
+    return -2;
+  }
+  memcpy(dst, rgb, need);
+  free(rgb);
+  return 0;
+}
+
+// Horizontal flip in place on float32 HWC.
+void hflip_f32(float* img, int h, int w) {
+  for (int y = 0; y < h; ++y) {
+    float* row = img + size_t(y) * w * 3;
+    for (int x = 0; x < w / 2; ++x) {
+      for (int c = 0; c < 3; ++c) {
+        float t = row[x * 3 + c];
+        row[x * 3 + c] = row[(w - 1 - x) * 3 + c];
+        row[(w - 1 - x) * 3 + c] = t;
+      }
+    }
+  }
+}
+
+}  // extern "C"

@@ -97,6 +97,9 @@ class Config:
     compute_dtype: str = "bfloat16"   # conv/matmul compute dtype; params stay f32
     mesh_data_axis: str = "data"
     mesh_model_axis: str = "model"
+    # Pallas kernels on the hot path: "auto" uses them on TPU backends and
+    # falls back to the jnp reference implementations on CPU
+    pallas: str = "auto"              # "auto" | "on" | "off"
 
     @property
     def n_anchors_per_cell(self) -> int:

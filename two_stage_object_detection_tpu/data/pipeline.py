@@ -45,6 +45,11 @@ class DetectionDataset:
         return len(self.index.records)
 
     def load_image(self, rec) -> np.ndarray:
+        from two_stage_object_detection_tpu.data import native
+
+        u8 = native.decode(rec["image_path"])     # C++ libjpeg/libpng path
+        if u8 is not None:
+            return u8.astype(np.float32) / 255.0
         img = Image.open(rec["image_path"]).convert("RGB")
         return np.asarray(img, np.float32) / 255.0
 

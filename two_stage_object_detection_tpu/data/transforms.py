@@ -52,13 +52,22 @@ def random_hflip(img: np.ndarray, boxes: np.ndarray,
 
 
 def resize(img: np.ndarray, boxes: np.ndarray, size: Tuple[int, int]):
-    """Resize HWC float image (+boxes) to ``(H, W)`` with bilinear PIL."""
+    """Resize HWC float image (+boxes) to ``(H, W)``, antialiased bilinear.
+
+    Uses the native C++ triangle-filter resize (``native/preprocess.cpp``)
+    when built, PIL otherwise — both match torchvision v2
+    ``Resize(antialias=True)`` semantics.
+    """
+    from two_stage_object_detection_tpu.data import native
+
     h0, w0 = img.shape[:2]
     h1, w1 = size
-    pil = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
-    img = np.asarray(pil.resize((w1, h1), Image.BILINEAR), np.float32) / 255.0
+    out = native.resize_f32(img, (h1, w1))
+    if out is None:
+        pil = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
+        out = np.asarray(pil.resize((w1, h1), Image.BILINEAR), np.float32) / 255.0
     boxes = boxes * np.array([w1 / w0, h1 / h0, w1 / w0, h1 / h0], np.float32)
-    return img, boxes
+    return out, boxes
 
 
 def scale_jitter(img: np.ndarray, boxes: np.ndarray,

@@ -47,9 +47,12 @@ class FasterRCNN(nn.Module):
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         self.extractor, self.feat_channels = build_backbone(cfg.backbone, dtype)
         self.rpn_head = RPNHead(n_anchors=cfg.n_anchors_per_cell, dtype=dtype)
+        use_pallas = (cfg.pallas == "on" or
+                      (cfg.pallas == "auto" and jax.default_backend() != "cpu"))
         self.roi_head = RoIHead(n_class=cfg.num_classes + 1,
                                 roi_size=cfg.roi_size,
-                                pool_mode=cfg.roi_pool_mode, dtype=dtype)
+                                pool_mode=cfg.roi_pool_mode,
+                                use_pallas=use_pallas, dtype=dtype)
         self.anchors = make_anchors(cfg)        # numpy compile-time constant
 
     # ------------------------------------------------------------------ init
@@ -64,18 +67,33 @@ class FasterRCNN(nn.Module):
             feats, rois, images.shape[1:3])
         return rpn_locs, rpn_scores, roi_cls_locs, roi_scores
 
+    def _use_pallas(self) -> bool:
+        if self.cfg.pallas == "on":
+            return True
+        if self.cfg.pallas == "off":
+            return False
+        return jax.default_backend() != "cpu"
+
     # ----------------------------------------------------------------- parts
     def _proposals(self, rpn_locs, rpn_scores, img_size, train: bool,
                    scale: float = 1.0):
         cfg = self.cfg
         fg = jax.nn.softmax(rpn_scores, axis=-1)[..., 1]
         anchors = jnp.asarray(self.anchors)
-        fn = functools.partial(
-            create_proposals,
-            anchors=anchors, img_size=img_size, nms_iou=cfg.rpn_nms_iou,
-            n_pre_nms=cfg.n_train_pre_nms if train else cfg.n_test_pre_nms,
-            n_post_nms=cfg.n_train_post_nms if train else cfg.n_test_post_nms,
-            min_size=cfg.proposal_min_size, scale=scale)
+        n_post = cfg.n_train_post_nms if train else cfg.n_test_post_nms
+        if self._use_pallas():
+            from two_stage_object_detection_tpu.ops.pallas_proposals import (
+                fused_proposals)
+            fn = functools.partial(
+                fused_proposals, anchors=anchors, img_size=tuple(img_size),
+                nms_iou=cfg.rpn_nms_iou, n_post_nms=n_post,
+                min_size=cfg.proposal_min_size * scale)
+        else:
+            fn = functools.partial(
+                create_proposals,
+                anchors=anchors, img_size=img_size, nms_iou=cfg.rpn_nms_iou,
+                n_pre_nms=cfg.n_train_pre_nms if train else cfg.n_test_pre_nms,
+                n_post_nms=n_post, min_size=cfg.proposal_min_size, scale=scale)
         return jax.vmap(fn)(rpn_locs, fg)
 
     # ----------------------------------------------------------------- train

@@ -30,6 +30,7 @@ class RoIHead(nn.Module):
     n_class: int                      # includes background
     roi_size: int = 7
     pool_mode: str = "pool"           # "pool" (reference parity) | "align"
+    use_pallas: bool = False          # pallas RoI-pool kernel on TPU
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -42,6 +43,10 @@ class RoIHead(nn.Module):
 
         if self.pool_mode == "align":
             pool_fn = lambda f, r: roi_align(f, r, self.roi_size, 1.0)
+        elif self.use_pallas:
+            from two_stage_object_detection_tpu.ops.pallas_roi import (
+                roi_pool_pallas)
+            pool_fn = lambda f, r: roi_pool_pallas(f, r, self.roi_size, 1.0)
         else:
             pool_fn = lambda f, r: roi_pool(f, r, self.roi_size, 1.0)
         pooled = jax.vmap(pool_fn)(feats.astype(jnp.float32), rois_feat)

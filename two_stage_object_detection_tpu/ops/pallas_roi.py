@@ -3,8 +3,12 @@
 Replaces the jnp separable masked-max (:func:`...ops.roi_pool.roi_pool`) on
 the hot path.  The jnp version broadcasts ``where(mask, feat, -inf)`` to a
 ``[R, P, H, W, C]`` intermediate before reducing — a huge HBM-traffic
-amplification.  Here the feature map sits in VMEM once and every roi's bins
+amplification.  Here the feature map sits in VMEM and every roi's bins
 reduce in place; nothing but the ``[R, P*P, C]`` result leaves the chip.
+
+The grid tiles the roi axis (``ROI_TILE`` rois per program) so the output
+block stays within VMEM next to the resident feature map; rois themselves
+live in SMEM because they are read one scalar at a time at dynamic indices.
 
 The kernel also emits the argmax *flat index* per pooled cell, which feeds a
 cheap scatter-add backward (``custom_vjp``) so the op trains.
@@ -24,17 +28,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e30
+# 8 rois per grid step: output blocks (2 x double-buffered [8, 49, 512] f32 +
+# int32) plus the resident (double-buffered) feature map and the stage-1
+# temporaries must fit in 16 MB of VMEM
+ROI_TILE = 8
 
 
 def _roi_pool_kernel(feat_ref, rois_ref, out_ref, idx_ref, *,
-                     pooled: int, spatial_scale: float, n_rois: int):
+                     pooled: int, spatial_scale: float):
     h, w, c = feat_ref.shape
     p = pooled
+    tile = out_ref.shape[0]
+    base = pl.program_id(0) * tile
 
     row_ids = lax.broadcasted_iota(jnp.int32, (h, 1, 1), 0)       # [H, 1, 1]
     col_ids = lax.broadcasted_iota(jnp.int32, (1, w, 1), 1)       # [1, W, 1]
 
-    def one_roi(r, _):
+    def one_roi(rl, _):
+        r = base + rl
         x1 = jnp.round(rois_ref[0, r] * spatial_scale).astype(jnp.int32)
         y1 = jnp.round(rois_ref[1, r] * spatial_scale).astype(jnp.int32)
         x2 = jnp.round(rois_ref[2, r] * spatial_scale).astype(jnp.int32)
@@ -72,31 +83,46 @@ def _roi_pool_kernel(feat_ref, rois_ref, out_ref, idx_ref, *,
                 is_max = rmask & (masked >= vals[None, :])
                 pos = jnp.min(jnp.where(is_max, stage1_pos[pw], 1e9),
                               axis=0)                             # [C]
-                out_ref[r, ph * p + pw, :] = jnp.where(empty, 0.0, vals)
-                idx_ref[r, ph * p + pw, :] = jnp.where(
+                out_ref[rl, ph * p + pw, :] = jnp.where(empty, 0.0, vals)
+                idx_ref[rl, ph * p + pw, :] = jnp.where(
                     empty, -1, pos.astype(jnp.int32))
         return 0
 
-    lax.fori_loop(0, n_rois, one_roi, 0)
+    lax.fori_loop(0, tile, one_roi, 0)
 
 
 def _roi_pool_fwd_impl(features, rois, output_size, spatial_scale, interpret):
     h, w, c = features.shape
     r = rois.shape[0]
+    r_pad = -(-r // ROI_TILE) * ROI_TILE
+    rois_p = jnp.pad(rois.astype(jnp.float32), ((0, r_pad - r), (0, 0)))
+    pp = output_size * output_size
     kernel = functools.partial(_roi_pool_kernel, pooled=output_size,
-                               spatial_scale=spatial_scale, n_rois=r)
+                               spatial_scale=spatial_scale)
     out, idx = pl.pallas_call(
         kernel,
+        grid=(r_pad // ROI_TILE,),
         out_shape=(
-            jax.ShapeDtypeStruct((r, output_size * output_size, c), jnp.float32),
-            jax.ShapeDtypeStruct((r, output_size * output_size, c), jnp.int32),
+            jax.ShapeDtypeStruct((r_pad, pp, c), jnp.float32),
+            jax.ShapeDtypeStruct((r_pad, pp, c), jnp.int32),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2,
+        in_specs=[
+            # resident feature map: same block every grid step
+            pl.BlockSpec((h, w, c), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # rois are read one scalar at a time at dynamic indices -> SMEM
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((ROI_TILE, pp, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROI_TILE, pp, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
         interpret=interpret,
-    )(features.astype(jnp.float32), rois.astype(jnp.float32).T)
+    )(features.astype(jnp.float32), rois_p.T)
     p = output_size
-    return out.reshape(r, p, p, c), idx.reshape(r, p, p, c)
+    return (out[:r].reshape(r, p, p, c), idx[:r].reshape(r, p, p, c))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
