@@ -17,7 +17,7 @@ from tests.test_detector import tiny_config
 
 
 @pytest.fixture(scope="module")
-def pipeline(tmp_path_factory):
+def _pipeline_once(tmp_path_factory):
     root = str(tmp_path_factory.mktemp("e2e"))
     ann, img_dir = generate_synthetic_coco(root, num_images=4, num_classes=3,
                                            image_size=(64, 64), seed=7)
@@ -28,6 +28,16 @@ def pipeline(tmp_path_factory):
     loader = Loader(ds, cfg.batch_size, shuffle=True, num_workers=2, seed=0)
     model, state = create_train_state(cfg, jax.random.PRNGKey(0),
                                       init_image_size=(32, 32))
+    return cfg, loader, model, state
+
+
+@pytest.fixture
+def pipeline(_pipeline_once):
+    # train_step donates its state; give each test a fresh buffer copy
+    import jax.numpy as jnp
+    cfg, loader, model, state = _pipeline_once
+    state = jax.tree_util.tree_map(
+        lambda x: jnp.array(x) if hasattr(x, "dtype") else x, state)
     return cfg, loader, model, state
 
 

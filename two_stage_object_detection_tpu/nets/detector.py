@@ -47,12 +47,10 @@ class FasterRCNN(nn.Module):
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         self.extractor, self.feat_channels = build_backbone(cfg.backbone, dtype)
         self.rpn_head = RPNHead(n_anchors=cfg.n_anchors_per_cell, dtype=dtype)
-        use_pallas = (cfg.pallas == "on" or
-                      (cfg.pallas == "auto" and jax.default_backend() != "cpu"))
         self.roi_head = RoIHead(n_class=cfg.num_classes + 1,
                                 roi_size=cfg.roi_size,
                                 pool_mode=cfg.roi_pool_mode,
-                                use_pallas=use_pallas, dtype=dtype)
+                                use_pallas=cfg.pallas_roi, dtype=dtype)
         self.anchors = make_anchors(cfg)        # numpy compile-time constant
 
     # ------------------------------------------------------------------ init

@@ -28,10 +28,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e30
-# 8 rois per grid step: output blocks (2 x double-buffered [8, 49, 512] f32 +
-# int32) plus the resident (double-buffered) feature map and the stage-1
-# temporaries must fit in 16 MB of VMEM
-ROI_TILE = 8
+# The grid tiles (rois x channels).  Channels are independent in max pooling,
+# so splitting them shrinks the feature block, the output blocks, AND the
+# kernel's [H, W, C_tile] temporaries — all of which share 16 MB of VMEM.
+ROI_TILE = 16
+CH_TILE = 128
 
 
 def _roi_pool_kernel(feat_ref, rois_ref, out_ref, idx_ref, *,
@@ -95,34 +96,37 @@ def _roi_pool_fwd_impl(features, rois, output_size, spatial_scale, interpret):
     h, w, c = features.shape
     r = rois.shape[0]
     r_pad = -(-r // ROI_TILE) * ROI_TILE
+    c_tile = min(CH_TILE, c)
+    c_pad = -(-c // c_tile) * c_tile
     rois_p = jnp.pad(rois.astype(jnp.float32), ((0, r_pad - r), (0, 0)))
+    feat = jnp.pad(features.astype(jnp.float32), ((0, 0), (0, 0), (0, c_pad - c)))
     pp = output_size * output_size
     kernel = functools.partial(_roi_pool_kernel, pooled=output_size,
                                spatial_scale=spatial_scale)
     out, idx = pl.pallas_call(
         kernel,
-        grid=(r_pad // ROI_TILE,),
+        grid=(r_pad // ROI_TILE, c_pad // c_tile),
         out_shape=(
-            jax.ShapeDtypeStruct((r_pad, pp, c), jnp.float32),
-            jax.ShapeDtypeStruct((r_pad, pp, c), jnp.int32),
+            jax.ShapeDtypeStruct((r_pad, pp, c_pad), jnp.float32),
+            jax.ShapeDtypeStruct((r_pad, pp, c_pad), jnp.int32),
         ),
         in_specs=[
-            # resident feature map: same block every grid step
-            pl.BlockSpec((h, w, c), lambda i: (0, 0, 0),
+            pl.BlockSpec((h, w, c_tile), lambda i, j: (0, 0, j),
                          memory_space=pltpu.VMEM),
             # rois are read one scalar at a time at dynamic indices -> SMEM
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((ROI_TILE, pp, c), lambda i: (i, 0, 0),
+            pl.BlockSpec((ROI_TILE, pp, c_tile), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROI_TILE, pp, c), lambda i: (i, 0, 0),
+            pl.BlockSpec((ROI_TILE, pp, c_tile), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(features.astype(jnp.float32), rois_p.T)
+    )(feat, rois_p.T)
     p = output_size
-    return (out[:r].reshape(r, p, p, c), idx[:r].reshape(r, p, p, c))
+    return (out[:r, :, :c].reshape(r, p, p, c),
+            idx[:r, :, :c].reshape(r, p, p, c))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
