@@ -1,0 +1,56 @@
+"""Native C++ preprocessing library tests (skipped when it cannot build)."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from two_stage_object_detection_tpu.data import native
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library unavailable")
+
+
+def _save(tmp_path, img, fmt):
+    p = str(tmp_path / f"img.{fmt.lower()}")
+    Image.fromarray(img).save(p, fmt)
+    return p
+
+
+def test_decode_png_and_jpeg(tmp_path, rng):
+    # smooth gradient (JPEG is lossy on noise)
+    yy, xx = np.mgrid[0:37, 0:53]
+    img = np.stack([yy * 6, xx * 4, (yy + xx) * 3], -1).astype(np.uint8)
+    for fmt in ("PNG", "JPEG"):
+        p = _save(tmp_path, img, fmt)
+        out = native.decode(p)
+        assert out is not None and out.shape == (37, 53, 3)
+        if fmt == "PNG":
+            np.testing.assert_array_equal(out, img)   # png is lossless
+        else:
+            assert np.abs(out.astype(int) - img.astype(int)).mean() < 10
+
+
+def test_decode_resize_matches_pil(tmp_path, rng):
+    img = (rng.rand(157, 283, 3) * 255).astype(np.uint8)
+    p = _save(tmp_path, img, "PNG")
+    arr, oh, ow = native.decode_resize(p, (64, 96))
+    assert (oh, ow) == (157, 283)
+    ref = np.asarray(Image.open(p).resize((96, 64), Image.BILINEAR),
+                     np.float32) / 255.0
+    # PIL quantises filter weights to 8 bits; stay within that
+    assert np.abs(arr - ref).max() < 0.02
+
+
+def test_resize_f32_identity_and_range(rng):
+    img = rng.rand(33, 47, 3).astype(np.float32)
+    same = native.resize_f32(img, (33, 47))
+    np.testing.assert_allclose(same, img, atol=1e-6)
+    down = native.resize_f32(img, (13, 17))
+    assert down.shape == (13, 17, 3)
+    assert down.min() >= 0 and down.max() <= 1 + 1e-6
+
+
+def test_resize_f32_constant_preserved():
+    img = np.full((40, 40, 3), 0.37, np.float32)
+    out = native.resize_f32(img, (17, 23))
+    np.testing.assert_allclose(out, 0.37, rtol=1e-5)

@@ -49,7 +49,9 @@ class RoIHead(nn.Module):
             pool_fn = lambda f, r: roi_pool_pallas(f, r, self.roi_size, 1.0)
         else:
             pool_fn = lambda f, r: roi_pool(f, r, self.roi_size, 1.0)
-        pooled = jax.vmap(pool_fn)(feats.astype(jnp.float32), rois_feat)
+        # pool in the feature dtype (bf16 by default): the masked-max is
+        # bandwidth-bound and max is order-exact in any float format
+        pooled = jax.vmap(pool_fn)(feats, rois_feat)
         # [B, R, P, P, C]
 
         # global average pool == reference HarNetClassifier
