@@ -31,7 +31,8 @@ def main(steps: int = 300):
         input_size=(320, 320), num_classes=3, batch_size=4, max_gt_boxes=8,
         n_train_pre_nms=2000, n_train_post_nms=256, n_test_pre_nms=1000,
         n_test_post_nms=128, roi_n_sample=64, grad_accum_steps=1, lr=1e-3,
-        score_thresh=0.5, predict_nms_iou=0.3, max_detections=16,
+        score_thresh=0.3, predict_nms_iou=0.3, max_detections=16,
+        cosine_t_max=steps,   # one cosine period over the whole run
     )
     root = tempfile.mkdtemp(prefix="overfit_")
     ann, img_dir = generate_synthetic_coco(root, num_images=4, num_classes=3,
@@ -54,6 +55,16 @@ def main(steps: int = 300):
                   f"roi_loc={ls['roi_loc']:.4f}", flush=True)
     print(f"trained {steps} steps in {time.time() - t0:.1f}s")
 
+    # diagnostics: raw predict outputs
+    from two_stage_object_detection_tpu.nets.trainer import predict_step
+    boxes, scores, labels, valid = jax.device_get(
+        predict_step(state, batch["image"]))
+    print(f"predict: {valid.sum()} detections, "
+          f"max score {scores.max():.3f}")
+
+    _, map50_t, _ = evaluate(state, [batch], cfg, map_iou_threshold=0.5,
+                             use_predict=False)
+    print(f"mAP@0.5 (trainer-parity path) = {map50_t:.3f}")
     _, map50, metrics = evaluate(state, [batch], cfg, map_iou_threshold=0.5,
                                  use_predict=True)
     print(f"mAP@0.5 (true inference path) = {map50:.3f}")

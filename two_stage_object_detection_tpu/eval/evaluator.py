@@ -20,7 +20,6 @@ from two_stage_object_detection_tpu.config import Config
 from two_stage_object_detection_tpu.eval.metrics import compute_map
 from two_stage_object_detection_tpu.nets.trainer import (
     TrainState, eval_step, predict_step)
-from two_stage_object_detection_tpu.ops.nms import nms as nms_device
 
 
 def _per_class_nms_host(boxes, scores, labels, num_classes, iou_threshold):

@@ -85,7 +85,9 @@ class FasterRCNN(nn.Module):
             fn = functools.partial(
                 fused_proposals, anchors=anchors, img_size=tuple(img_size),
                 nms_iou=cfg.rpn_nms_iou, n_post_nms=n_post,
-                min_size=cfg.proposal_min_size * scale)
+                min_size=cfg.proposal_min_size * scale,
+                # pallas="on" with a CPU backend runs the kernel interpreted
+                interpret=jax.default_backend() == "cpu")
         else:
             fn = functools.partial(
                 create_proposals,
@@ -116,9 +118,13 @@ class FasterRCNN(nn.Module):
         img_size = images.shape[1:3]
         feats = self.extractor(images, train=train)
         rpn_locs, rpn_scores = self.rpn_head(feats)
-        rois, _, roi_valid = self._proposals(rpn_locs, rpn_scores, img_size,
-                                             train=train, scale=scale)
-        rois = jax.lax.stop_gradient(rois)
+        # proposals are non-differentiable samples (and the Pallas kernel has
+        # no AD rule): cut the gradient at its inputs — RPN weights learn
+        # through the explicit RPN losses below, as in standard Faster R-CNN
+        rois, _, roi_valid = self._proposals(
+            jax.lax.stop_gradient(rpn_locs),
+            jax.lax.stop_gradient(rpn_scores),
+            img_size, train=train, scale=scale)
 
         # ---- RPN targets + losses (vmapped over the batch) ----
         anchors = jnp.asarray(self.anchors)

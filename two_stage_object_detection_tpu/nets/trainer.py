@@ -28,10 +28,19 @@ class TrainState(train_state.TrainState):
 
 
 def make_optimizer(cfg: Config, steps_per_epoch: int = 1) -> optax.GradientTransformation:
-    """AdamW + per-epoch cosine annealing + 32-step gradient accumulation."""
-    # CosineAnnealingLR(T_max=5) stepped per epoch (reference train.py:55-58,133)
+    """AdamW + per-epoch cosine annealing + 32-step gradient accumulation.
+
+    The cosine schedule is *periodic* like torch ``CosineAnnealingLR``
+    (reference ``train.py:55-58,133``): past ``T_max`` the LR climbs back up
+    instead of clamping at zero (``optax.cosine_decay_schedule`` would freeze
+    training once the horizon is exceeded).
+    """
     t_max_updates = max(cfg.cosine_t_max * steps_per_epoch // max(cfg.grad_accum_steps, 1), 1)
-    schedule = optax.cosine_decay_schedule(cfg.lr, decay_steps=t_max_updates)
+
+    def schedule(count):
+        t = count / t_max_updates
+        return cfg.lr * 0.5 * (1.0 + jnp.cos(jnp.pi * t))
+
     tx = optax.adamw(schedule, weight_decay=cfg.weight_decay)
     if cfg.grad_accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
