@@ -89,6 +89,9 @@ class Config:
     grad_accum_steps: int = 32
     weight_decay: float = 1e-4
     cosine_t_max: int = 5
+    # freeze BatchNorm statistics during training (capability parity with the
+    # reference's FasterRCNN.freeze_bn, nets/frcnn.py:56-59)
+    freeze_bn: bool = False
 
     # data pipeline
     max_gt_boxes: int = 100        # static padding of per-image GT boxes

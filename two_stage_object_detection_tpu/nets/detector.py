@@ -116,7 +116,9 @@ class FasterRCNN(nn.Module):
         """
         cfg = self.cfg
         img_size = images.shape[1:3]
-        feats = self.extractor(images, train=train)
+        # freeze_bn keeps running statistics fixed while still training
+        # weights (reference FasterRCNN.freeze_bn, nets/frcnn.py:56-59)
+        feats = self.extractor(images, train=train and not cfg.freeze_bn)
         rpn_locs, rpn_scores = self.rpn_head(feats)
         # proposals are non-differentiable samples (and the Pallas kernel has
         # no AD rule): cut the gradient at its inputs — RPN weights learn

@@ -43,9 +43,12 @@ def build_loaders(cfg: Config, data_root: str = "data"):
                                 train=True)
     eval_ds = DetectionDataset(eval_idx, cfg.input_size, cfg.max_gt_boxes,
                                train=False)
+    # device_put in the producer thread overlaps host->device transfer of
+    # batch k+1 with step k (the reference's pinned-memory double buffering)
     mk = lambda ds, sh: Loader(ds, cfg.batch_size, shuffle=sh,
                                num_workers=cfg.num_workers,
-                               prefetch=cfg.prefetch_factor)
+                               prefetch=cfg.prefetch_factor,
+                               device_put=jax.device_put)
     return mk(train_ds, True), mk(eval_ds, False), eval_idx
 
 
