@@ -107,6 +107,10 @@ class Config:
     # (measured 2.0ms vs 5.0ms for the Pallas kernel, 128 rois @ 38x38x512),
     # so the Pallas variant is opt-in
     pallas_roi: bool = False
+    # RoI pooling backward: "xla" autodiff (fastest: 212 vs 257 ms/step) or
+    # "pallas" (roi_pool_fast — bounded VMEM where XLA's transposed reduce
+    # can materialise a [R,P,H,W,C] broadcast; use if training OOMs)
+    roi_bwd: str = "xla"
 
     @property
     def n_anchors_per_cell(self) -> int:

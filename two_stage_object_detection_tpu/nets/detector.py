@@ -50,7 +50,8 @@ class FasterRCNN(nn.Module):
         self.roi_head = RoIHead(n_class=cfg.num_classes + 1,
                                 roi_size=cfg.roi_size,
                                 pool_mode=cfg.roi_pool_mode,
-                                use_pallas=cfg.pallas_roi, dtype=dtype)
+                                use_pallas=cfg.pallas_roi,
+                                roi_bwd=cfg.roi_bwd, dtype=dtype)
         self.anchors = make_anchors(cfg)        # numpy compile-time constant
 
     # ------------------------------------------------------------------ init

@@ -30,7 +30,8 @@ class RoIHead(nn.Module):
     n_class: int                      # includes background
     roi_size: int = 7
     pool_mode: str = "pool"           # "pool" (reference parity) | "align"
-    use_pallas: bool = False          # pallas RoI-pool kernel on TPU
+    use_pallas: bool = False          # pallas RoI-pool forward kernel
+    roi_bwd: str = "xla"              # "xla" | "pallas" backward (see Config)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -41,17 +42,27 @@ class RoIHead(nn.Module):
                           jnp.float32)
         rois_feat = rois.astype(jnp.float32) * scale
 
+        # pool in the feature dtype (bf16 by default): the masked-max is
+        # bandwidth-bound and max is order-exact in any float format
         if self.pool_mode == "align":
-            pool_fn = lambda f, r: roi_align(f, r, self.roi_size, 1.0)
+            pooled = jax.vmap(
+                lambda f, r: roi_align(f, r, self.roi_size, 1.0))(feats, rois_feat)
         elif self.use_pallas:
             from two_stage_object_detection_tpu.ops.pallas_roi import (
                 roi_pool_pallas)
-            pool_fn = lambda f, r: roi_pool_pallas(f, r, self.roi_size, 1.0)
+            pooled = jax.vmap(
+                lambda f, r: roi_pool_pallas(f, r, self.roi_size, 1.0))(feats, rois_feat)
+        elif self.roi_bwd == "pallas":
+            # XLA-fused forward + Pallas backward: slightly slower end to end
+            # (257 vs 212 ms/step) but bounded VMEM where XLA's transposed
+            # reduce can materialise the [R,P,H,W,C] broadcast (39 GB seen)
+            from two_stage_object_detection_tpu.ops.pallas_roi_bwd import (
+                roi_pool_fast)
+            pooled = roi_pool_fast(feats, rois_feat, self.roi_size, 1.0,
+                                   jax.default_backend() == "cpu")
         else:
-            pool_fn = lambda f, r: roi_pool(f, r, self.roi_size, 1.0)
-        # pool in the feature dtype (bf16 by default): the masked-max is
-        # bandwidth-bound and max is order-exact in any float format
-        pooled = jax.vmap(pool_fn)(feats, rois_feat)
+            pooled = jax.vmap(
+                lambda f, r: roi_pool(f, r, self.roi_size, 1.0))(feats, rois_feat)
         # [B, R, P, P, C]
 
         # global average pool == reference HarNetClassifier
