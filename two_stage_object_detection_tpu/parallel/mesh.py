@@ -36,6 +36,23 @@ def shard_batch(batch, mesh: Mesh):
         lambda x: jax.device_put(x, sharding), batch)
 
 
+def shard_batch_spatial(batch, mesh: Mesh):
+    """Data + spatial partitioning: batch over ``data``, image **height**
+    over ``model``.
+
+    XLA's SPMD partitioner inserts the halo exchanges that the backbone's
+    3x3 convolutions need at the shard boundaries — spatial parallelism
+    without any hand-written communication.  Only the 4-D image tensor is
+    spatially split; per-image labels stay batch-sharded.
+    """
+    img_sh = NamedSharding(mesh, P("data", "model"))
+    other_sh = NamedSharding(mesh, P("data"))
+    return {
+        k: jax.device_put(v, img_sh if getattr(v, "ndim", 0) == 4 else other_sh)
+        for k, v in batch.items()
+    }
+
+
 def replicate(tree, mesh: Mesh):
     """Replicate a pytree over every device of the mesh."""
     sharding = NamedSharding(mesh, P())
