@@ -28,8 +28,15 @@ import sys
 import time
 
 import jax
-import jax.numpy as jnp
-from jax import lax
+
+# persistent compilation cache: remote TPU compiles take minutes; repeat
+# bench/train invocations reuse them
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_comp_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+import jax.numpy as jnp  # noqa: E402
+from jax import lax  # noqa: E402
 
 BASELINE_IPS = float(os.environ.get("BASELINE_IPS", 0.204))
 ITERS = int(os.environ.get("BENCH_ITERS", 20))
