@@ -149,8 +149,14 @@ def bench_train(batch=16):
     return ips
 
 
+VALID_CONFIGS = ("batched16", "single1", "resnet50", "rpn8", "train16", "all")
+
+
 def main():
     from two_stage_object_detection_tpu.config import Config
+    if CONFIG not in VALID_CONFIGS:
+        sys.exit(f"bench: unknown BENCH_CONFIG={CONFIG!r}; "
+                 f"expected one of {', '.join(VALID_CONFIGS)}")
     log(f"devices: {jax.devices()}  config={CONFIG}")
     cfg = Config()
 
