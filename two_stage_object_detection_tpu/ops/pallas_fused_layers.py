@@ -72,14 +72,16 @@ def _dw_from(y1, wd_ref, b2_ref, h, w, tile_rows, row0, cout):
 
 def _comb_kernel(x_hbm, w1_ref, b1_ref, wd_ref, b2_ref, out_ref,
                  x_vmem, sem, *, h: int, w: int, tile_rows: int,
-                 cin: int, cout: int):
+                 cin: int, cout: int, win: int):
     bi = pl.program_id(0)
     t = pl.program_id(1)
     row0 = t * tile_rows
 
     # DMA (tile+2) rows of the zero-padded [1+H+1, W, C] image, flattened
+    # (window padded to 8-row alignment for the DMA; trailing junk lines
+    # only influence discarded halo outputs)
     copy = pltpu.make_async_copy(
-        x_hbm.at[bi, pl.ds(row0 * w, (tile_rows + 2) * w), :],
+        x_hbm.at[bi, pl.ds(row0 * w, win), :],
         x_vmem, sem)
     copy.start()
     copy.wait()
@@ -93,25 +95,36 @@ def _comb_kernel(x_hbm, w1_ref, b1_ref, wd_ref, b2_ref, out_ref,
 
 
 def _dw_only_kernel(x_hbm, wd_ref, b2_ref, out_ref, x_vmem, sem, *,
-                    h: int, w: int, tile_rows: int, cout: int):
+                    h: int, w: int, tile_rows: int, cout: int, win: int):
     bi = pl.program_id(0)
     t = pl.program_id(1)
     row0 = t * tile_rows
     copy = pltpu.make_async_copy(
-        x_hbm.at[bi, pl.ds(row0 * w, (tile_rows + 2) * w), :],
+        x_hbm.at[bi, pl.ds(row0 * w, win), :],
         x_vmem, sem)
     copy.start()
     copy.wait()
     y1 = x_vmem[:].astype(jnp.float32)
     out = _dw_from(y1, wd_ref, b2_ref, h, w, tile_rows, row0, cout)
-    out_ref[0] = out.astype(out_ref.dtype)
+    out_ref[0] = out[:, :cout].astype(out_ref.dtype)
 
 
-def _pick_tile_rows(h: int) -> int:
-    for t in (15, 10, 6, 5, 3, 2, 1):
-        if h % t == 0:
-            return t
-    return 1
+def _pick_tile_rows(h: int, w: int, cin_p: int, cout_p: int) -> int:
+    """Rows per tile: ``tile*w`` must be 8-divisible (Mosaic block rule) and
+    the kernel's VMEM footprint (DMA scratch + f32 depthwise temporaries +
+    double-buffered output blocks) must fit the 16 MB budget.  The grid
+    ceil-divides ``h`` and the wrapper slices off the padded tail."""
+    budget = 10 * 1024 * 1024
+    aligned = [t for t in (16, 12, 8, 4, 2, 1) if (t * w) % 8 == 0]
+    if not aligned:
+        aligned = [8]            # t*w 8-divisible for any w
+    for t in aligned:
+        win = _round_up((t + 2) * w, 8)
+        # scratch (bf16) + ~3 f32 window temporaries + 2 output buffers
+        need = win * cin_p * 2 + 3 * win * cout_p * 4 + 2 * t * w * cout_p * 2
+        if need <= budget:
+            return min(t, max(h, 1))
+    return min(aligned[-1], max(h, 1))
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "interpret"))
@@ -129,18 +142,28 @@ def fused_comb_conv(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
     """
     b, hw, cin = x.shape
     cout = w1.shape[1]
-    tile_rows = _pick_tile_rows(h)
+    cin_p = _round_up(cin, 128)
+    cout_p = _round_up(cout, 128)
+    tile_rows = _pick_tile_rows(h, w, cin_p, cout_p)
+    n_tiles = -(-h // tile_rows)
+    h_pad = n_tiles * tile_rows
     dtype = x.dtype
 
-    # zero-pad one row top and bottom -> halo reads are always in bounds
-    xp = jnp.pad(x.reshape(b, h, w, cin), ((0, 0), (1, 1), (0, 0), (0, 0)))
-    xp = xp.reshape(b, (h + 2) * w, cin)
+    # zero-pad one halo row on top and (1 + grid tail) below — halo reads
+    # are always in bounds and the dw stage re-zeroes out-of-image rows;
+    # channels pad to the 128-lane tiling (HBM slices must be lane-aligned)
+    win = _round_up((tile_rows + 2) * w, 8)
+    xp = jnp.pad(x.reshape(b, h, w, cin),
+                 ((0, 0), (1, 1 + h_pad - h), (0, 0), (0, cin_p - cin)))
+    xp = xp.reshape(b, (h_pad + 2) * w, cin_p)
+    xp = jnp.pad(xp, ((0, 0), (0, win), (0, 0)))   # DMA window slack
+    w1p = jnp.pad(w1, ((0, cin_p - cin), (0, 0)))
 
     kernel = functools.partial(_comb_kernel, h=h, w=w, tile_rows=tile_rows,
-                               cin=cin, cout=cout)
+                               cin=cin_p, cout=cout, win=win)
     out = pl.pallas_call(
         kernel,
-        grid=(b, h // tile_rows),
+        grid=(b, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),      # x stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),     # w1
@@ -151,15 +174,15 @@ def fused_comb_conv(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
         out_specs=pl.BlockSpec((1, tile_rows * w, cout),
                                lambda i, t: (i, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, hw, cout), dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h_pad * w, cout), dtype),
         scratch_shapes=[
-            pltpu.VMEM(((tile_rows + 2) * w, cin), dtype),
+            pltpu.VMEM((win, cin_p), dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(xp, w1.astype(dtype), b1.reshape(1, -1).astype(jnp.float32),
+    )(xp, w1p.astype(dtype), b1.reshape(1, -1).astype(jnp.float32),
       wd.astype(jnp.float32), b2.reshape(1, -1).astype(jnp.float32))
-    return out
+    return out[:, :hw]
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "interpret"))
@@ -167,15 +190,23 @@ def fused_dw_conv(x: jnp.ndarray, wd: jnp.ndarray, b2: jnp.ndarray, *,
                   h: int, w: int, interpret: bool = False) -> jnp.ndarray:
     """Fused depthwise 3x3 + BN (stride 1, inference): ``[B, H*W, C]``."""
     b, hw, c = x.shape
-    tile_rows = _pick_tile_rows(h)
+    c_p = _round_up(c, 128)
+    tile_rows = _pick_tile_rows(h, w, c_p, c_p)
+    n_tiles = -(-h // tile_rows)
+    h_pad = n_tiles * tile_rows
     dtype = x.dtype
-    xp = jnp.pad(x.reshape(b, h, w, c), ((0, 0), (1, 1), (0, 0), (0, 0)))
-    xp = xp.reshape(b, (h + 2) * w, c)
+    win = _round_up((tile_rows + 2) * w, 8)
+    xp = jnp.pad(x.reshape(b, h, w, c),
+                 ((0, 0), (1, 1 + h_pad - h), (0, 0), (0, c_p - c)))
+    xp = xp.reshape(b, (h_pad + 2) * w, c_p)
+    xp = jnp.pad(xp, ((0, 0), (0, win), (0, 0)))   # DMA window slack
+    wdp = jnp.pad(wd, ((0, 0), (0, c_p - c)))
+    b2p = jnp.pad(b2.reshape(-1), (0, c_p - c))
     kernel = functools.partial(_dw_only_kernel, h=h, w=w,
-                               tile_rows=tile_rows, cout=c)
-    return pl.pallas_call(
+                               tile_rows=tile_rows, cout=c, win=win)
+    out = pl.pallas_call(
         kernel,
-        grid=(b, h // tile_rows),
+        grid=(b, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),      # x stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -183,10 +214,11 @@ def fused_dw_conv(x: jnp.ndarray, wd: jnp.ndarray, b2: jnp.ndarray, *,
         ],
         out_specs=pl.BlockSpec((1, tile_rows * w, c), lambda i, t: (i, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, hw, c), dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h_pad * w, c), dtype),
         scratch_shapes=[
-            pltpu.VMEM(((tile_rows + 2) * w, c), dtype),
+            pltpu.VMEM((win, c_p), dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(xp, wd.astype(jnp.float32), b2.reshape(1, -1).astype(jnp.float32))
+    )(xp, wdp.astype(jnp.float32), b2p.reshape(1, -1).astype(jnp.float32))
+    return out[:, :hw]
