@@ -70,41 +70,34 @@ def _dw_from(y1, wd_ref, b2_ref, h, w, tile_rows, row0, cout):
     return out[w:w + tile_rows * w]
 
 
-def _comb_kernel(x_hbm, w1_ref, b1_ref, wd_ref, b2_ref, out_ref,
-                 x_vmem, sem, *, h: int, w: int, tile_rows: int,
-                 cin: int, cout: int, win: int):
-    bi = pl.program_id(0)
+def _window(x_cur, x_prev, x_next, w):
+    """Assemble the halo'd window from the pipelined neighbour blocks:
+    last row of the previous tile + this tile + first row of the next."""
+    return jnp.concatenate([x_prev[0, -w:, :], x_cur[0], x_next[0, :w, :]],
+                           axis=0)
+
+
+def _comb_kernel(x_cur, x_prev, x_next, w1_ref, b1_ref, wd_ref, b2_ref,
+                 out_ref, *, h: int, w: int, tile_rows: int,
+                 cin: int, cout: int):
     t = pl.program_id(1)
     row0 = t * tile_rows
+    window = _window(x_cur, x_prev, x_next, w)
 
-    # DMA (tile+2) rows of the zero-padded [1+H+1, W, C] image, flattened
-    # (window padded to 8-row alignment for the DMA; trailing junk lines
-    # only influence discarded halo outputs)
-    copy = pltpu.make_async_copy(
-        x_hbm.at[bi, pl.ds(row0 * w, win), :],
-        x_vmem, sem)
-    copy.start()
-    copy.wait()
-
-    # pointwise conv + folded BN + ReLU6 (on halo rows too)
-    y1 = jnp.dot(x_vmem[:], w1_ref[:], preferred_element_type=jnp.float32)
+    # pointwise conv + folded BN + ReLU6 (on halo rows too); wrong halo
+    # content at the clamped edge tiles is re-zeroed inside _dw_from
+    y1 = jnp.dot(window, w1_ref[:], preferred_element_type=jnp.float32)
     y1 = jnp.minimum(jnp.maximum(y1 + b1_ref[0:1, :], 0.0), 6.0)
 
     out = _dw_from(y1, wd_ref, b2_ref, h, w, tile_rows, row0, cout)
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-def _dw_only_kernel(x_hbm, wd_ref, b2_ref, out_ref, x_vmem, sem, *,
-                    h: int, w: int, tile_rows: int, cout: int, win: int):
-    bi = pl.program_id(0)
+def _dw_only_kernel(x_cur, x_prev, x_next, wd_ref, b2_ref, out_ref, *,
+                    h: int, w: int, tile_rows: int, cout: int):
     t = pl.program_id(1)
     row0 = t * tile_rows
-    copy = pltpu.make_async_copy(
-        x_hbm.at[bi, pl.ds(row0 * w, win), :],
-        x_vmem, sem)
-    copy.start()
-    copy.wait()
-    y1 = x_vmem[:].astype(jnp.float32)
+    y1 = _window(x_cur, x_prev, x_next, w).astype(jnp.float32)
     out = _dw_from(y1, wd_ref, b2_ref, h, w, tile_rows, row0, cout)
     out_ref[0] = out[:, :cout].astype(out_ref.dtype)
 
@@ -119,9 +112,11 @@ def _pick_tile_rows(h: int, w: int, cin_p: int, cout_p: int) -> int:
     if not aligned:
         aligned = [8]            # t*w 8-divisible for any w
     for t in aligned:
-        win = _round_up((t + 2) * w, 8)
-        # scratch (bf16) + ~3 f32 window temporaries + 2 output buffers
-        need = win * cin_p * 2 + 3 * win * cout_p * 4 + 2 * t * w * cout_p * 2
+        win = (t + 2) * w
+        # 3 double-buffered input blocks + ~3 f32 window temporaries
+        # + 2 output buffers
+        need = (6 * t * w * cin_p * 2 + 3 * win * cout_p * 4
+                + 2 * t * w * cout_p * 2)
         if need <= budget:
             return min(t, max(h, 1))
     return min(aligned[-1], max(h, 1))
@@ -149,23 +144,28 @@ def fused_comb_conv(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
     h_pad = n_tiles * tile_rows
     dtype = x.dtype
 
-    # zero-pad one halo row on top and (1 + grid tail) below — halo reads
-    # are always in bounds and the dw stage re-zeroes out-of-image rows;
-    # channels pad to the 128-lane tiling (HBM slices must be lane-aligned)
-    win = _round_up((tile_rows + 2) * w, 8)
+    # pad rows to the grid and channels to the 128-lane tiling; the halo
+    # comes from the neighbouring blocks (prev/cur/next input specs), which
+    # the pallas pipeline double-buffers — no manual DMA
     xp = jnp.pad(x.reshape(b, h, w, cin),
-                 ((0, 0), (1, 1 + h_pad - h), (0, 0), (0, cin_p - cin)))
-    xp = xp.reshape(b, (h_pad + 2) * w, cin_p)
-    xp = jnp.pad(xp, ((0, 0), (0, win), (0, 0)))   # DMA window slack
+                 ((0, 0), (0, h_pad - h), (0, 0), (0, cin_p - cin)))
+    xp = xp.reshape(b, h_pad * w, cin_p)
     w1p = jnp.pad(w1, ((0, cin_p - cin), (0, 0)))
 
     kernel = functools.partial(_comb_kernel, h=h, w=w, tile_rows=tile_rows,
-                               cin=cin_p, cout=cout, win=win)
+                               cin=cin_p, cout=cout)
+    blk = (1, tile_rows * w, cin_p)
+    last = n_tiles - 1
     out = pl.pallas_call(
         kernel,
         grid=(b, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),      # x stays in HBM
+            pl.BlockSpec(blk, lambda i, t: (i, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, lambda i, t: (i, jnp.maximum(t - 1, 0), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, lambda i, t, last=last: (i, jnp.minimum(t + 1, last), 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),     # w1
             pl.BlockSpec(memory_space=pltpu.VMEM),     # b1 [1, Cout]
             pl.BlockSpec(memory_space=pltpu.VMEM),     # wd [9, Cout]
@@ -175,12 +175,9 @@ def fused_comb_conv(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
                                lambda i, t: (i, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h_pad * w, cout), dtype),
-        scratch_shapes=[
-            pltpu.VMEM((win, cin_p), dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
         interpret=interpret,
-    )(xp, w1p.astype(dtype), b1.reshape(1, -1).astype(jnp.float32),
+    )(xp, xp, xp, w1p.astype(dtype),
+      b1.reshape(1, -1).astype(jnp.float32),
       wd.astype(jnp.float32), b2.reshape(1, -1).astype(jnp.float32))
     return out[:, :hw]
 
@@ -195,30 +192,32 @@ def fused_dw_conv(x: jnp.ndarray, wd: jnp.ndarray, b2: jnp.ndarray, *,
     n_tiles = -(-h // tile_rows)
     h_pad = n_tiles * tile_rows
     dtype = x.dtype
-    win = _round_up((tile_rows + 2) * w, 8)
     xp = jnp.pad(x.reshape(b, h, w, c),
-                 ((0, 0), (1, 1 + h_pad - h), (0, 0), (0, c_p - c)))
-    xp = xp.reshape(b, (h_pad + 2) * w, c_p)
-    xp = jnp.pad(xp, ((0, 0), (0, win), (0, 0)))   # DMA window slack
+                 ((0, 0), (0, h_pad - h), (0, 0), (0, c_p - c)))
+    xp = xp.reshape(b, h_pad * w, c_p)
     wdp = jnp.pad(wd, ((0, 0), (0, c_p - c)))
     b2p = jnp.pad(b2.reshape(-1), (0, c_p - c))
     kernel = functools.partial(_dw_only_kernel, h=h, w=w,
-                               tile_rows=tile_rows, cout=c, win=win)
+                               tile_rows=tile_rows, cout=c)
+    blk = (1, tile_rows * w, c_p)
+    last = n_tiles - 1
     out = pl.pallas_call(
         kernel,
         grid=(b, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),      # x stays in HBM
+            pl.BlockSpec(blk, lambda i, t: (i, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, lambda i, t: (i, jnp.maximum(t - 1, 0), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, lambda i, t, last=last: (i, jnp.minimum(t + 1, last), 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, tile_rows * w, c), lambda i, t: (i, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h_pad * w, c), dtype),
-        scratch_shapes=[
-            pltpu.VMEM((win, c_p), dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
         interpret=interpret,
-    )(xp, wdp.astype(jnp.float32), b2p.reshape(1, -1).astype(jnp.float32))
+    )(xp, xp, xp, wdp.astype(jnp.float32),
+      b2p.reshape(1, -1).astype(jnp.float32))
     return out[:, :hw]
