@@ -1,0 +1,103 @@
+"""Multi-chip dry run: compile + execute ONE sharded train step on a mesh.
+
+Runnable as ``python -m two_stage_object_detection_tpu.parallel.dryrun N``,
+in which case it forces the CPU platform with N virtual devices *before* any
+backend initialisation — required because the axon TPU plugin claims the
+backend at sitecustomize time, so the ``JAX_PLATFORMS`` env var alone is
+ignored (see tests/conftest.py).  The driver-facing wrapper
+``__graft_entry__.dryrun_multichip`` runs this module in a subprocess so the
+parent process's (possibly already-initialised) TPU backend can't leak in.
+
+The reference has no distributed path at all (SURVEY §2: single ``cuda:0``,
+``configs/config.json:6``); this validates the rebuild's data+tensor-parallel
+sharding (``parallel/mesh.py``, ``parallel/sharding.py``).
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def run_dryrun(n_devices: int) -> float:
+    """Build an ``n_devices`` mesh, jit the FULL train step over it with real
+    dp/tp shardings, run one step on tiny shapes, and return the loss."""
+    import jax
+    import numpy as np
+
+    from two_stage_object_detection_tpu.config import Config
+    from two_stage_object_detection_tpu.nets.trainer import (
+        create_train_state, train_step)
+    from two_stage_object_detection_tpu.parallel.mesh import (
+        make_mesh, replicate, shard_batch)
+    from two_stage_object_detection_tpu.parallel.sharding import (
+        infer_param_sharding)
+
+    n_model = 2 if n_devices % 2 == 0 and n_devices > 1 else 1
+    n_data = n_devices // n_model
+    mesh = make_mesh(n_data=n_data, n_model=n_model)
+
+    cfg = Config(
+        input_size=(64, 64), num_classes=3, batch_size=max(2 * n_data, 2),
+        max_gt_boxes=4, n_train_pre_nms=64, n_train_post_nms=16,
+        n_test_pre_nms=32, n_test_post_nms=8, roi_n_sample=8, rpn_n_sample=16,
+        grad_accum_steps=1, compute_dtype="float32",
+    )
+    _, state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                  init_image_size=(32, 32))
+
+    # place params with tensor-parallel sharding, opt state replicated,
+    # batch split over the data axis
+    param_sh = infer_param_sharding(state.params, mesh)
+    params = jax.tree_util.tree_map(jax.device_put, state.params, param_sh)
+    state = state.replace(
+        params=params,
+        batch_stats=replicate(state.batch_stats, mesh),
+        opt_state=replicate(state.opt_state, mesh),
+    )
+
+    rngk = np.random.RandomState(0)
+    b, g = cfg.batch_size, cfg.max_gt_boxes
+    batch = {
+        "image": rngk.rand(b, 64, 64, 3).astype(np.float32),
+        "boxes": np.tile(np.array([[8.0, 8.0, 40.0, 40.0]], np.float32),
+                         (b, g, 1)),
+        "labels": np.zeros((b, g), np.int32),
+        "valid": np.tile(np.array([True] + [False] * (g - 1)), (b, 1)),
+    }
+    with mesh:
+        batch = shard_batch(batch, mesh)
+        state, losses = train_step(state, batch, jax.random.PRNGKey(1))
+        total = float(jax.device_get(losses["total"]))
+    assert np.isfinite(total), total
+    print(f"dryrun_multichip({n_devices}): mesh={dict(mesh.shape)} "
+          f"loss={total:.4f} OK")
+    return total
+
+
+def _force_cpu(n_devices: int) -> None:
+    """Force an ``n_devices``-virtual-device CPU backend.  Must run before
+    jax initialises any backend; overrides the axon plugin's programmatic
+    platform selection via jax.config (env var alone is not honoured)."""
+    import os
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n_devices}"
+        ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    n = int(argv[0]) if argv else 8
+    _force_cpu(n)
+    run_dryrun(n)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
