@@ -49,10 +49,16 @@ def _per_class_nms_host(boxes, scores, labels, num_classes, iou_threshold):
     return keep_idx
 
 
-def evaluate(state: TrainState, loader: Iterable, cfg: Config,
-             map_iou_threshold: float = 0.5, nms_iou_threshold: float = 0.7,
-             use_predict: bool = False, max_batches: Optional[int] = None):
-    """Run one eval pass -> ``(avg_loss, mAP, metrics_dict)``.
+def collect_predictions(state: TrainState, loader: Iterable, cfg: Config,
+                        nms_iou_threshold: float = 0.7,
+                        use_predict: bool = False,
+                        max_batches: Optional[int] = None):
+    """One device pass over the loader -> ``(preds, gts, avg_loss)``.
+
+    Predictions do not depend on the mAP IoU threshold, so a threshold sweep
+    only needs this once (the reference re-runs the full forward per
+    threshold, ``train/train.py:97-103`` — 10x the device cost for identical
+    predictions).
 
     ``use_predict=False`` mirrors the reference (train-graph forward with GT
     inputs, per-class NMS on the sampled-roi predictions); ``True`` evaluates
@@ -99,9 +105,22 @@ def evaluate(state: TrainState, loader: Iterable, cfg: Config,
             gv = gt_valid[i]
             gts.append((gt_boxes[i][gv], gt_labels[i][gv]))
 
+    avg_loss = loss_total / max(n_batches, 1)
+    return preds, gts, avg_loss
+
+
+def evaluate(state: TrainState, loader: Iterable, cfg: Config,
+             map_iou_threshold: float = 0.5, nms_iou_threshold: float = 0.7,
+             use_predict: bool = False, max_batches: Optional[int] = None):
+    """Run one eval pass -> ``(avg_loss, mAP, metrics_dict)``.
+
+    Equivalent of reference ``eval_fn`` (``nets/frcnn_training.py:347-370``).
+    """
+    preds, gts, avg_loss = collect_predictions(
+        state, loader, cfg, nms_iou_threshold=nms_iou_threshold,
+        use_predict=use_predict, max_batches=max_batches)
     metrics = compute_map(preds, gts, cfg.num_classes,
                           iou_threshold=map_iou_threshold)
-    avg_loss = loss_total / max(n_batches, 1)
     return avg_loss, metrics["mAP"], metrics
 
 
@@ -110,17 +129,22 @@ def evaluate_sweep(state: TrainState, loader_fn, cfg: Config,
                    **kw) -> Dict[str, float]:
     """mAP@{.5, .95, .5:.95} sweep (reference ``train/train.py:97-117``).
 
+    Forward-once: the device pass runs a single time and the matching is
+    repeated per IoU threshold on host (the reference re-forwards the whole
+    eval set per threshold — 10 device passes for the same predictions).
+
     ``loader_fn``: zero-arg callable returning a fresh eval iterator.
     """
-    total, m50, m95, loss_sum = 0.0, 0.0, 0.0, 0.0
+    preds, gts, eval_loss = collect_predictions(state, loader_fn(), cfg, **kw)
+    total, m50, m95 = 0.0, 0.0, 0.0
     for t in thresholds:
-        loss, m, _ = evaluate(state, loader_fn(), cfg, map_iou_threshold=float(t), **kw)
+        m = compute_map(preds, gts, cfg.num_classes,
+                        iou_threshold=float(t))["mAP"]
         total += m
-        loss_sum += loss
         if abs(t - 0.5) < 1e-6:
             m50 = m
         if abs(t - 0.95) < 1e-6:
             m95 = m
     n = len(tuple(thresholds))
     return {"mAP50": m50, "mAP95": m95, "mAP50_95": total / n,
-            "eval_loss": loss_sum / n}
+            "eval_loss": eval_loss}
