@@ -76,9 +76,12 @@ class Config:
     roi_size: int = 7
     roi_pool_mode: str = "pool"    # "pool" (reference RoIPool parity) | "align"
 
-    # inference (true predict path; reference lacks one — nets/frcnn.py is dead)
+    # inference (true predict path; reference lacks one — nets/frcnn.py is
+    # dead). predict_nms_iou matches the reference's final inference NMS
+    # (IoU 0.1, multi_inference.py:84); raise it (e.g. 0.3-0.5) for less
+    # aggressive suppression on crowded scenes.
     score_thresh: float = 0.05
-    predict_nms_iou: float = 0.3
+    predict_nms_iou: float = 0.1
     max_detections: int = 100
     backbone: str = "hardnet39"    # hardnet39|hardnet68|hardnet85|resnet34|resnet50|resnet101|resnext50
     backbone_channels: int = 512   # channels of the shared feature map
@@ -95,6 +98,9 @@ class Config:
 
     # data pipeline
     max_gt_boxes: int = 100        # static padding of per-image GT boxes
+    # loader worker pool: "thread" (C++ decode releases the GIL) or
+    # "process" (reference DataLoader-worker parity, dataset/dataloader.py:63-74)
+    worker_mode: str = "thread"
 
     # TPU execution
     compute_dtype: str = "bfloat16"   # conv/matmul compute dtype; params stay f32

@@ -74,9 +74,21 @@ class FasterRCNN(nn.Module):
         return jax.default_backend() != "cpu"
 
     # ----------------------------------------------------------------- parts
+    def _check_anchor_contract(self, n_locs: int):
+        """The anchor table is baked from ``cfg.feat_size`` (a compile-time
+        constant); feeding an image whose backbone output disagrees would
+        otherwise fail with an opaque shape error deep in ``loc2bbox``."""
+        n_anchors = self.anchors.shape[0]
+        assert n_locs == n_anchors, (
+            f"image size mismatch: the RPN produced {n_locs} anchor slots but "
+            f"the anchor table built from cfg.input_size={self.cfg.input_size} "
+            f"(feat_size={self.cfg.feat_size}) has {n_anchors}; pass images of "
+            f"cfg.input_size or construct the model with a matching Config")
+
     def _proposals(self, rpn_locs, rpn_scores, img_size, train: bool,
                    scale: float = 1.0):
         cfg = self.cfg
+        self._check_anchor_contract(rpn_locs.shape[1])
         fg = jax.nn.softmax(rpn_scores, axis=-1)[..., 1]
         anchors = jnp.asarray(self.anchors)
         n_post = cfg.n_train_post_nms if train else cfg.n_test_post_nms

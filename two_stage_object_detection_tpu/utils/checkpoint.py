@@ -18,14 +18,20 @@ BEST = "FasterRCNNTrainer_best"    # keep the reference's naming contract
 LAST = "FasterRCNNTrainer_last"
 
 
-def _ckptr() -> ocp.PyTreeCheckpointer:
-    return ocp.PyTreeCheckpointer()
+def _ckptr() -> ocp.Checkpointer:
+    # ocp.PyTreeCheckpointer / the `item=` restore kwarg are deprecated;
+    # StandardCheckpointer is the supported pytree save/restore surface.
+    return ocp.StandardCheckpointer()
 
 
 def save_checkpoint(path: str, state: Any, name: str = LAST) -> str:
     """Save a pytree (e.g. TrainState) under ``path/name``."""
     full = os.path.abspath(os.path.join(path, name))
-    _ckptr().save(full, jax.device_get(state), force=True)
+    ckptr = _ckptr()
+    ckptr.save(full, jax.device_get(state), force=True)
+    # StandardCheckpointer writes asynchronously; the reference's torch.save
+    # contract is synchronous (train/train.py:122-143) — block until durable
+    ckptr.wait_until_finished()
     return full
 
 
@@ -39,7 +45,7 @@ def restore_checkpoint(path: str, target: Any, name: str = BEST,
     full = os.path.abspath(os.path.join(path, name))
     if not os.path.exists(full):
         return None
-    restored = _ckptr().restore(full, item=jax.device_get(target))
+    restored = _ckptr().restore(full, jax.device_get(target))
     if params_only:
         return target.replace(params=restored.params,
                               batch_stats=restored.batch_stats)
