@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Callable, Iterator, Optional
 
 import numpy as np
@@ -74,18 +74,41 @@ class DetectionDataset:
                 "labels": out_labels, "valid": out_valid}
 
 
+# Process-pool worker state: the dataset is shipped once per worker via the
+# pool initializer (fork is cheap on Linux; children only run numpy/PIL/C++
+# decode, never jax).
+_WORKER_DS: Optional[DetectionDataset] = None
+
+
+def _init_worker(ds: DetectionDataset) -> None:
+    global _WORKER_DS
+    _WORKER_DS = ds
+
+
+def _worker_getitem(i: int):
+    return _WORKER_DS[i]
+
+
 class Loader:
-    """Threaded batch loader with background prefetch.
+    """Batch loader with a background producer and a worker pool.
 
     Iterates dicts of stacked numpy arrays: ``image [B,H,W,3]``,
     ``boxes [B,G,4]``, ``labels [B,G]``, ``valid [B,G]``.  ``drop_last`` is
     implied: the batch shape is static (pad-free), matching compiled graphs.
+
+    ``worker_mode``: ``"thread"`` (default — the C++ decode/resize releases
+    the GIL) or ``"process"`` (reference parity with DataLoader worker
+    processes, ``dataset/dataloader.py:63-74``; sidesteps the GIL when
+    Python-side augmentation dominates).  ``persistent_workers`` keeps the
+    pool alive across epochs (reference ``configs/config.json``).
     """
 
     def __init__(self, dataset: DetectionDataset, batch_size: int,
                  shuffle: bool = True, num_workers: int = 4,
                  prefetch: int = 2, seed: int = 0,
-                 device_put: Optional[Callable] = None):
+                 device_put: Optional[Callable] = None,
+                 worker_mode: str = "thread",
+                 persistent_workers: bool = True):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -94,6 +117,40 @@ class Loader:
         self.seed = seed
         self.epoch = 0
         self.device_put = device_put
+        assert worker_mode in ("thread", "process"), worker_mode
+        self.worker_mode = worker_mode
+        self.persistent_workers = persistent_workers
+        self._pool = None
+
+    def _make_pool(self):
+        if self.worker_mode == "process":
+            return ProcessPoolExecutor(self.num_workers,
+                                       initializer=_init_worker,
+                                       initargs=(self.dataset,))
+        return ThreadPoolExecutor(self.num_workers)
+
+    def _get_pool(self):
+        if self.persistent_workers:
+            if self._pool is None:
+                self._pool = self._make_pool()
+            return self._pool, False
+        return self._make_pool(), True
+
+    def _map_fn(self):
+        return (_worker_getitem if self.worker_mode == "process"
+                else self.dataset.__getitem__)
+
+    def close(self):
+        """Shut down a persistent worker pool (idempotent)."""
+        if self._pool is not None:
+            self._pool.shutdown()
+            self._pool = None
+
+    def __del__(self):  # best-effort cleanup
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __len__(self):
         return len(self.dataset) // self.batch_size if len(self.dataset) >= self.batch_size else 1
@@ -114,18 +171,24 @@ class Loader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        pool, own_pool = self._get_pool()
+        map_fn = self._map_fn()
+
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
+            try:
                 for b in range(n_batches):
                     if stop.is_set():
                         return
                     idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
-                    samples = list(pool.map(self.dataset.__getitem__, idxs))
+                    samples = list(pool.map(map_fn, idxs))
                     batch = {k: np.stack([s[k] for s in samples])
                              for k in samples[0]}
                     if self.device_put is not None:
                         batch = self.device_put(batch)
                     q.put(batch)
+            finally:
+                if own_pool:
+                    pool.shutdown()
             q.put(None)
 
         t = threading.Thread(target=produce, daemon=True)

@@ -22,10 +22,12 @@ _COLORS = [(220, 40, 40), (40, 200, 60), (50, 80, 230), (240, 200, 40),
 def generate_synthetic_coco(root: str, split: str = "train2017",
                             num_images: int = 8, num_classes: int = 3,
                             image_size: Tuple[int, int] = (160, 200),
-                            max_boxes: int = 4, seed: int = 0):
+                            max_boxes: int = 4, seed: int = 0,
+                            fmt: str = "png"):
     """Write ``root/{split}`` images + ``root/annotations/instances_{split}.json``.
 
-    Returns ``(ann_path, image_dir)``.
+    ``fmt``: "png" (lossless fixtures) or "jpg" (COCO-realistic decode cost
+    for host-pipeline benchmarks).  Returns ``(ann_path, image_dir)``.
     """
     rng = np.random.RandomState(seed)
     img_dir = os.path.join(root, split)
@@ -52,8 +54,8 @@ def generate_synthetic_coco(root: str, split: str = "train2017",
                 "area": float(bw * bh), "iscrowd": 0,
             })
             ann_id += 1
-        fname = f"{img_id:012d}.png"
-        Image.fromarray(canvas).save(os.path.join(img_dir, fname))
+        fname = f"{img_id:012d}.{fmt}"
+        Image.fromarray(canvas).save(os.path.join(img_dir, fname), quality=90)
         images.append({"id": img_id, "file_name": fname,
                        "height": h, "width": w})
 

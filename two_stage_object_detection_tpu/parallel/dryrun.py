@@ -28,9 +28,7 @@ def run_dryrun(n_devices: int) -> float:
     from two_stage_object_detection_tpu.nets.trainer import (
         create_train_state, train_step)
     from two_stage_object_detection_tpu.parallel.mesh import (
-        make_mesh, replicate, shard_batch)
-    from two_stage_object_detection_tpu.parallel.sharding import (
-        infer_param_sharding)
+        make_mesh, place_train_state, shard_batch)
 
     n_model = 2 if n_devices % 2 == 0 and n_devices > 1 else 1
     n_data = n_devices // n_model
@@ -47,13 +45,7 @@ def run_dryrun(n_devices: int) -> float:
 
     # place params with tensor-parallel sharding, opt state replicated,
     # batch split over the data axis
-    param_sh = infer_param_sharding(state.params, mesh)
-    params = jax.tree_util.tree_map(jax.device_put, state.params, param_sh)
-    state = state.replace(
-        params=params,
-        batch_stats=replicate(state.batch_stats, mesh),
-        opt_state=replicate(state.opt_state, mesh),
-    )
+    state = place_train_state(state, mesh)
 
     rngk = np.random.RandomState(0)
     b, g = cfg.batch_size, cfg.max_gt_boxes

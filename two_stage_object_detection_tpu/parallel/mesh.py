@@ -57,3 +57,38 @@ def replicate(tree, mesh: Mesh):
     """Replicate a pytree over every device of the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def auto_mesh(batch_size: int, n_model: int = 1,
+              devices=None) -> Optional[Mesh]:
+    """Default training mesh: data-parallel over as many devices as the batch
+    divides into (times an optional tensor-parallel ``model`` factor).
+
+    Returns ``None`` on a single device (plain ``jax.device_put`` placement
+    is then the right thing — no mesh overhead).
+    """
+    devices = devices if devices is not None else jax.devices()
+    if len(devices) <= 1 and n_model == 1:
+        return None
+    cap = max(len(devices) // n_model, 1)
+    n_data = max(d for d in range(1, cap + 1) if batch_size % d == 0)
+    if n_data * n_model <= 1:
+        return None
+    return make_mesh(n_data=n_data, n_model=n_model, devices=devices)
+
+
+def place_train_state(state, mesh: Mesh, infer_param_sharding=None):
+    """Place a TrainState on ``mesh``: params via the tensor-parallel rules
+    (full replication when the ``model`` axis is 1), everything else
+    replicated.  XLA inserts the gradient ``psum`` because the whole train
+    step is one jitted program over sharded inputs."""
+    if infer_param_sharding is None:
+        from two_stage_object_detection_tpu.parallel.sharding import (
+            infer_param_sharding)
+    param_sh = infer_param_sharding(state.params, mesh)
+    params = jax.tree_util.tree_map(jax.device_put, state.params, param_sh)
+    return state.replace(
+        params=params,
+        batch_stats=replicate(state.batch_stats, mesh),
+        opt_state=replicate(state.opt_state, mesh),
+    )

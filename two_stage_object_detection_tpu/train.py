@@ -22,6 +22,8 @@ from two_stage_object_detection_tpu.data.pipeline import DetectionDataset, Loade
 from two_stage_object_detection_tpu.eval.evaluator import evaluate_sweep
 from two_stage_object_detection_tpu.nets.trainer import (
     create_train_state, train_step)
+from two_stage_object_detection_tpu.parallel.mesh import (
+    auto_mesh, place_train_state, shard_batch)
 from two_stage_object_detection_tpu.utils import checkpoint as ckpt
 from two_stage_object_detection_tpu.utils.draw import plot_training_metrics
 from two_stage_object_detection_tpu.utils.utils import set_seed, update_ema
@@ -30,9 +32,13 @@ logging.basicConfig(level=logging.INFO)
 log = logging.getLogger(__name__)
 
 
-def build_loaders(cfg: Config, data_root: str = "data"):
+def build_loaders(cfg: Config, data_root: str = "data", device_put=None):
     """COCO loaders following the reference's path layout
-    (``dataset/data_organise.py:13-15``: ``data/annotations/instances_{split}2017.json``)."""
+    (``dataset/data_organise.py:13-15``: ``data/annotations/instances_{split}2017.json``).
+
+    ``device_put``: placement callable for produced batches (defaults to
+    single-device ``jax.device_put``; ``train`` passes a mesh-sharding one
+    on multi-device backends)."""
     train_idx = load_coco(
         os.path.join(data_root, "annotations", "instances_train2017.json"),
         os.path.join(data_root, "train2017"), ratio=cfg.train_ratio)
@@ -48,24 +54,45 @@ def build_loaders(cfg: Config, data_root: str = "data"):
     mk = lambda ds, sh: Loader(ds, cfg.batch_size, shuffle=sh,
                                num_workers=cfg.num_workers,
                                prefetch=cfg.prefetch_factor,
-                               device_put=jax.device_put)
+                               device_put=device_put or jax.device_put,
+                               worker_mode=cfg.worker_mode,
+                               persistent_workers=cfg.persistent_workers)
     return mk(train_ds, True), mk(eval_ds, False), eval_idx
 
 
 def train(visualization: bool = True, cfg: Optional[Config] = None,
           data_root: str = "data", weights_dir: str = "weights",
-          pre_train: bool = False, eval_period: int = 10, seed: int = 42):
-    """Run the full training loop (reference ``train()`` signature kept)."""
+          pre_train: bool = False, eval_period: int = 10, seed: int = 42,
+          mesh="auto"):
+    """Run the full training loop (reference ``train()`` signature kept).
+
+    ``mesh``: ``"auto"`` builds a data-parallel mesh over every available
+    device (SURVEY §2 "TPU-native equivalents to build": batch parallelism
+    via jax.sharding; the mean-gradient psum is inserted by XLA).  Pass
+    ``None`` to force single-device, or an explicit ``jax.sharding.Mesh``.
+    """
     cfg = cfg or load_config()
     set_seed(seed)
     rng = jax.random.PRNGKey(seed)
 
-    train_loader, eval_loader, _ = build_loaders(cfg, data_root)
+    if mesh == "auto":
+        mesh = auto_mesh(cfg.batch_size)
+    if mesh is not None:
+        put = lambda batch: shard_batch(batch, mesh)
+        log.info("training on %d devices, mesh=%s",
+                 mesh.devices.size, dict(mesh.shape))
+    else:
+        put = jax.device_put
+
+    train_loader, eval_loader, _ = build_loaders(cfg, data_root,
+                                                 device_put=put)
     steps_per_epoch = max(len(train_loader), 1)
 
     rng, init_rng = jax.random.split(rng)
     model, state = create_train_state(cfg, init_rng,
                                       steps_per_epoch=steps_per_epoch)
+    if mesh is not None:
+        state = place_train_state(state, mesh)
     os.makedirs(weights_dir, exist_ok=True)
 
     if pre_train:
@@ -73,6 +100,8 @@ def train(visualization: bool = True, cfg: Optional[Config] = None,
                                            params_only=True)
         if restored is not None:
             state = restored
+            if mesh is not None:   # restored leaves are host arrays
+                state = place_train_state(state, mesh)
             log.info("✅ Successfully loaded pretrained model")
 
     try:
