@@ -6,9 +6,17 @@ Prints ONE JSON line (the headline metric) to stdout:
 
 Headline = config #3: batched (16) true inference on the flagship
 HarDNet-39 Faster R-CNN at 600x600.  Other BASELINE configs are selectable
-with ``BENCH_CONFIG``:
+with ``BENCH_CONFIG`` (comma-separable):
 
-  batched16 (default) | single1 | resnet50 | rpn8 | train16 | all
+  batched16 (default) | single1 | resnet50 | rpn8 | train16 | trainloop16
+  | pipeline | all
+
+``train16`` times the FULL optimisation step (fwd+bwd+optax apply with the
+recipe's 32-step gradient accumulation) on device-resident batches;
+``trainloop16`` times the user-facing loop end to end — C++ decode/augment
+through the Loader feeding ``train_step`` — so host starvation is visible;
+``pipeline`` times the host input pipeline alone (600x600 JPEG decode +
+augment + batch assembly, no device work).
 
 The baseline is the PyTorch reference's trainer-forward on CPU measured in
 this container (2026-08-16, single thread, torchvision nms/RoIPool stubbed
@@ -19,7 +27,11 @@ Methodology: the timing loop runs inside one jitted ``lax.scan`` with a
 carry dependency between steps, synced by a device_get of the final scalar —
 steady-state device throughput.  (Per-dispatch sync would add the remote
 runtime's ~30 ms roundtrip to every batch, and block_until_ready is acked
-early by that runtime.)
+early by that runtime.)  Device configs also report an XLA cost-analysis
+roofline: model FLOPs, achieved TFLOP/s, % of v5e peak, and HBM bytes/s.
+
+Results merge into ``BENCH_DETAILS.json`` (partial runs never clobber other
+configs' entries).
 """
 
 import json
@@ -41,6 +53,11 @@ from jax import lax  # noqa: E402
 BASELINE_IPS = float(os.environ.get("BASELINE_IPS", 0.204))
 ITERS = int(os.environ.get("BENCH_ITERS", 20))
 CONFIG = os.environ.get("BENCH_CONFIG", "batched16")
+DETAILS_PATH = "BENCH_DETAILS.json"
+
+# v5e-1 peaks (public spec): 197 TFLOP/s bf16, 819 GB/s HBM
+V5E_PEAK_FLOPS = 197e12
+V5E_HBM_BPS = 819e9
 
 
 def log(msg):
@@ -66,6 +83,37 @@ def scan_time(step_fn, *args, iters=ITERS):
     return (time.perf_counter() - t0) / iters
 
 
+def cost_analysis(step_fn, *args):
+    """XLA-reported (flops, bytes accessed) of one step; None on failure."""
+    try:
+        compiled = jax.jit(lambda *a: step_fn(*a, 0.0)).lower(*args).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+    except Exception as e:  # pragma: no cover - analysis is best-effort
+        log(f"  cost_analysis unavailable: {e}")
+        return None
+
+
+def roofline(detail, step_fn, *args):
+    """Attach FLOPs/bandwidth roofline numbers to a detail dict."""
+    ca = cost_analysis(step_fn, *args)
+    if ca is None:
+        return detail
+    flops, byts = ca
+    dt = detail["sec_per_batch"]
+    detail.update({
+        "model_gflops": round(flops / 1e9, 2),
+        "achieved_tflops": round(flops / dt / 1e12, 3),
+        "mfu_pct_v5e_bf16": round(100.0 * flops / dt / V5E_PEAK_FLOPS, 2),
+        "bytes_accessed_gb": round(byts / 1e9, 3),
+        "achieved_gbps": round(byts / dt / 1e9, 1),
+        "hbm_pct_v5e": round(100.0 * byts / dt / V5E_HBM_BPS, 1),
+    })
+    return detail
+
+
 def _model_and_vars(cfg):
     from two_stage_object_detection_tpu.nets.detector import FasterRCNN
     model = FasterRCNN(cfg)
@@ -86,7 +134,9 @@ def bench_inference(name, cfg, batch):
     dt = scan_time(step, variables, images)
     ips = batch / dt
     log(f"{name}: {dt * 1000:.2f} ms/batch of {batch} -> {ips:.2f} img/s")
-    return ips
+    detail = {"images_per_sec": round(ips, 2), "batch": batch,
+              "sec_per_batch": dt}
+    return roofline(detail, step, variables, images)
 
 
 def bench_rpn(batch=8):
@@ -111,81 +161,221 @@ def bench_rpn(batch=8):
     ips = batch / dt
     log(f"rpn8 (anchors+decode+NMS): {dt * 1000:.2f} ms/batch of {batch} "
         f"-> {ips:.2f} img/s")
-    return ips
+    return {"images_per_sec": round(ips, 2), "batch": batch,
+            "sec_per_batch": dt}
 
 
-def bench_train(batch=16):
+def _device_batch(cfg, batch):
     import numpy as np
-    from two_stage_object_detection_tpu.config import Config
-    from two_stage_object_detection_tpu.nets.trainer import create_train_state
-
-    cfg = Config(batch_size=batch, grad_accum_steps=1, max_gt_boxes=16)
-    _, state = create_train_state(cfg, jax.random.PRNGKey(0),
-                                  init_image_size=(64, 64))
     rng = np.random.RandomState(0)
     g = cfg.max_gt_boxes
-    batch_d = {
+    return {
         "image": jnp.asarray(rng.rand(batch, *cfg.input_size, 3), jnp.float32),
         "boxes": jnp.tile(jnp.array([[50.0, 50.0, 300.0, 300.0]]), (batch, g, 1)),
         "labels": jnp.zeros((batch, g), jnp.int32),
         "valid": jnp.tile(jnp.array([True, True] + [False] * (g - 2)), (batch, 1)),
     }
 
-    def step(params, batch_stats, carry):
-        def loss_fn(p):
-            out = state.apply_fn(
-                {"params": p, "batch_stats": batch_stats},
-                batch_d["image"] + carry, batch_d["boxes"],
-                batch_d["labels"], batch_d["valid"],
-                method="train_forward", mutable=["batch_stats"])
-            return out[0]["losses"]["total"]
-        g_ = jax.grad(loss_fn)(params)
-        return jnp.sum(jax.tree_util.tree_leaves(g_)[0]).astype(jnp.float32)
 
-    dt = scan_time(step, state.params, state.batch_stats, iters=max(ITERS // 4, 3))
+def bench_train(batch=16):
+    """Full optimisation step: fwd+bwd+optax apply, 32-step accumulation
+    (the reference recipe: AdamW, loss/32, step every 32 — train.py:86-92)."""
+    from two_stage_object_detection_tpu.config import Config
+    from two_stage_object_detection_tpu.nets.trainer import (
+        create_train_state, train_step_fn)
+
+    cfg = Config(batch_size=batch, max_gt_boxes=16)
+    _, state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                  init_image_size=(64, 64))
+    batch_d = _device_batch(cfg, batch)
+    iters = cfg.grad_accum_steps          # one full accumulation cycle
+    rng = jax.random.PRNGKey(2)
+
+    @jax.jit
+    def loop(state, batch_d):
+        def body(s, _):
+            s2, losses = train_step_fn(s, batch_d, rng)
+            return s2, losses["total"]
+        s, totals = lax.scan(body, state, None, length=iters)
+        return totals[-1]
+
+    t0 = time.perf_counter()
+    jax.device_get(loop(state, batch_d))
+    log(f"  compile+first: {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    jax.device_get(loop(state, batch_d))
+    dt = (time.perf_counter() - t0) / iters
     ips = batch / dt
-    log(f"train16 (fwd+bwd): {dt * 1000:.2f} ms/step of {batch} "
-        f"-> {ips:.2f} img/s")
-    return ips
+    log(f"train16 (full step incl optimizer, accum {iters}): "
+        f"{dt * 1000:.2f} ms/step of {batch} -> {ips:.2f} img/s")
+    detail = {"images_per_sec": round(ips, 2), "batch": batch,
+              "sec_per_batch": dt, "grad_accum_steps": iters,
+              "includes": "fwd+bwd+optax apply+accumulation"}
+
+    def one_step(s, b, carry):
+        s2, losses = train_step_fn(
+            s, {**b, "image": b["image"] + carry}, rng)
+        return losses["total"]
+    return roofline(detail, one_step, state, batch_d)
 
 
-VALID_CONFIGS = ("batched16", "single1", "resnet50", "rpn8", "train16", "all")
+def _bench_data_root(num_images=128):
+    from two_stage_object_detection_tpu.data.synthetic import (
+        generate_synthetic_coco)
+    root = "/tmp/bench_pipeline_data"
+    marker = os.path.join(root, f".done_{num_images}")
+    if not os.path.exists(marker):
+        generate_synthetic_coco(root, split="train2017",
+                                num_images=num_images, num_classes=3,
+                                image_size=(600, 600), fmt="jpg", seed=3)
+        open(marker, "w").close()
+    return root
+
+
+def _loader(cfg, root, device_put=None):
+    from two_stage_object_detection_tpu.data.coco import load_coco
+    from two_stage_object_detection_tpu.data.pipeline import (
+        DetectionDataset, Loader)
+    idx = load_coco(os.path.join(root, "annotations", "instances_train2017.json"),
+                    os.path.join(root, "train2017"), ratio=1.0)
+    ds = DetectionDataset(idx, cfg.input_size, cfg.max_gt_boxes, train=True)
+    return Loader(ds, cfg.batch_size, shuffle=True,
+                  num_workers=cfg.num_workers, prefetch=cfg.prefetch_factor,
+                  device_put=device_put, worker_mode=cfg.worker_mode,
+                  persistent_workers=True)
+
+
+def bench_pipeline(batch=16):
+    """Host input pipeline alone: JPEG decode + augment + batch assembly."""
+    import numpy as np
+    from two_stage_object_detection_tpu.config import Config
+
+    cfg = Config(batch_size=batch, max_gt_boxes=16,
+                 worker_mode=os.environ.get("BENCH_WORKERS", "thread"))
+    root = _bench_data_root()
+    loader = _loader(cfg, root)
+    n_img, sink = 0, 0.0
+    for b in loader:        # warm-up epoch (page cache, pools)
+        sink += float(b["image"][0, 0, 0, 0])
+    t0 = time.perf_counter()
+    epochs = 3
+    for _ in range(epochs):
+        for b in loader:
+            n_img += b["image"].shape[0]
+            sink += float(b["image"][0, 0, 0, 0])
+    dt = time.perf_counter() - t0
+    ips = n_img / dt
+    log(f"pipeline ({cfg.worker_mode} x{cfg.num_workers}): "
+        f"{ips:.1f} img/s host decode+augment ({n_img} images, sink={sink:.1f})")
+    loader.close()
+    return {"images_per_sec": round(ips, 2), "batch": batch,
+            "worker_mode": cfg.worker_mode, "num_workers": cfg.num_workers,
+            "images": n_img}
+
+
+def bench_trainloop(batch=16, steps=24):
+    """User-facing training loop end to end: Loader (C++ decode + augment +
+    async device_put) feeding the jitted train_step.  Wall-clock over
+    ``steps`` steps; the final device_get syncs the whole dependent chain."""
+    from two_stage_object_detection_tpu.config import Config
+    from two_stage_object_detection_tpu.nets.trainer import (
+        create_train_state, train_step)
+
+    cfg = Config(batch_size=batch, max_gt_boxes=16, grad_accum_steps=1,
+                 worker_mode=os.environ.get("BENCH_WORKERS", "thread"))
+    root = _bench_data_root()
+    loader = _loader(cfg, root, device_put=jax.device_put)
+    _, state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                  init_image_size=(64, 64))
+    rng = jax.random.PRNGKey(2)
+
+    def run(state, n):
+        it, done, losses = iter(loader), 0, None
+        while done < n:
+            try:
+                b = next(it)
+            except StopIteration:
+                it = iter(loader)
+                continue
+            state, losses = train_step(state, b, rng)
+            done += 1
+        jax.device_get(losses["total"])
+        return state
+
+    t0 = time.perf_counter()
+    state = run(state, 2)      # compile + warm
+    log(f"  compile+first: {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    run(state, steps)
+    dt = (time.perf_counter() - t0) / steps
+    ips = batch / dt
+    log(f"trainloop16 (Loader -> train_step): {dt * 1000:.2f} ms/step "
+        f"of {batch} -> {ips:.2f} img/s")
+    loader.close()
+    return {"images_per_sec": round(ips, 2), "batch": batch,
+            "sec_per_batch": dt, "steps": steps,
+            "worker_mode": cfg.worker_mode,
+            "includes": "host decode+augment+device_put+full train step"}
+
+
+VALID_CONFIGS = ("batched16", "single1", "resnet50", "rpn8", "train16",
+                 "trainloop16", "pipeline", "all")
+
+
+def merge_details(results):
+    existing = {}
+    if os.path.exists(DETAILS_PATH):
+        try:
+            with open(DETAILS_PATH) as f:
+                existing = json.load(f)
+        except Exception:
+            existing = {}
+    # legacy format: bare floats -> keep as-is unless re-run now
+    existing.update(results)
+    with open(DETAILS_PATH, "w") as f:
+        json.dump(existing, f, indent=2)
+    return existing
 
 
 def main():
     from two_stage_object_detection_tpu.config import Config
-    if CONFIG not in VALID_CONFIGS:
-        sys.exit(f"bench: unknown BENCH_CONFIG={CONFIG!r}; "
-                 f"expected one of {', '.join(VALID_CONFIGS)}")
-    log(f"devices: {jax.devices()}  config={CONFIG}")
+    wanted = [c.strip() for c in CONFIG.split(",")]
+    for c in wanted:
+        if c not in VALID_CONFIGS:
+            sys.exit(f"bench: unknown BENCH_CONFIG={c!r}; "
+                     f"expected one of {', '.join(VALID_CONFIGS)}")
+    sel = set(VALID_CONFIGS[:-1]) if "all" in wanted else set(wanted)
+    log(f"devices: {jax.devices()}  configs={sorted(sel)}")
     cfg = Config()
 
     results = {}
-    if CONFIG in ("batched16", "all"):
+    if "batched16" in sel:
         results["batched16"] = bench_inference("batched16 (flagship)", cfg, 16)
-    if CONFIG in ("single1", "all"):
+    if "single1" in sel:
         results["single1"] = bench_inference("single1", cfg, 1)
-    if CONFIG in ("resnet50", "all"):
+    if "resnet50" in sel:
         results["resnet50"] = bench_inference(
             "resnet50 single", cfg.replace(backbone="resnet50",
                                            backbone_channels=1024), 1)
-    if CONFIG in ("rpn8", "all"):
+    if "rpn8" in sel:
         results["rpn8"] = bench_rpn()
-    if CONFIG in ("train16", "all"):
+    if "train16" in sel:
         results["train16"] = bench_train()
+    if "pipeline" in sel:
+        results["pipeline"] = bench_pipeline()
+    if "trainloop16" in sel:
+        results["trainloop16"] = bench_trainloop()
 
     if results:
-        with open("BENCH_DETAILS.json", "w") as f:
-            json.dump(results, f, indent=2)
+        merge_details(results)
 
-    headline = results.get("batched16")
-    if headline is None:
-        headline = next(iter(results.values()))
+    headline = results.get("batched16") or next(iter(results.values()))
+    ips = headline["images_per_sec"]
     print(json.dumps({
         "metric": "batched_inference_images_per_sec",
-        "value": round(headline, 3),
+        "value": round(ips, 3),
         "unit": "images/sec",
-        "vs_baseline": round(headline / BASELINE_IPS, 2),
+        "vs_baseline": round(ips / BASELINE_IPS, 2),
     }))
 
 

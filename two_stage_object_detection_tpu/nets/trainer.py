@@ -65,13 +65,14 @@ def create_train_state(cfg: Config, rng: jax.Array,
     return model, state
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
-               rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+def train_step_fn(state: TrainState, batch: Dict[str, jnp.ndarray],
+                  rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One optimisation micro-step on a (possibly device-sharded) batch.
 
     ``batch``: dict with ``image [B,H,W,3]``, ``boxes [B,G,4]``,
-    ``labels [B,G]``, ``valid [B,G]``.
+    ``labels [B,G]``, ``valid [B,G]``.  Unjitted body — callable from inside
+    other traced code (e.g. the bench's ``lax.scan`` loop); use
+    :func:`train_step` for the compiled driver entry.
     """
     def loss_fn(params):
         out, mutated = state.apply_fn(
@@ -85,6 +86,9 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
         loss_fn, has_aux=True)(state.params)
     state = state.apply_gradients(grads=grads, batch_stats=new_stats)
     return state, losses
+
+
+train_step = jax.jit(train_step_fn, donate_argnums=(0,))
 
 
 @functools.partial(jax.jit, static_argnames=("deterministic",))
