@@ -1,0 +1,324 @@
+#!/usr/bin/env python
+"""mAP-parity experiment: corrected torch reference vs this framework.
+
+The north star is ">=5x images/sec *at matched VOC-style mAP*"
+(BASELINE.json).  This script provides the quality half:
+
+1. runs the *corrected* torch reference (the code at ``/root/reference`` has
+   defects that make it uncallable/incoherent as shipped — SURVEY §3 quirks:
+   batch-1-only featurisation, broken AP math, dead inference class), driven
+   at batch 1 with a correct AP implementation, on a synthetic COCO set;
+2. trains this framework with the same recipe on the same data;
+3. converts the torch weights with :mod:`utils.torch_import` and evaluates
+   them through THIS framework's eval path — the same-weights parity check;
+4. prints a side-by-side mAP@0.5 table (and writes PARITY.json).
+
+The reference is imported *in place* from ``/root/reference`` via a /tmp
+shim tree (symlinks + a CPU ``config.json`` + a pure-torch stand-in for the
+missing ``torchvision.ops``) — no reference code is copied anywhere.
+
+Usage: ``python scripts/parity_reference.py [steps] [size]`` (defaults
+300, 128).  CPU-heavy: the torch side runs single-threaded eager.
+"""
+
+import json
+import os
+import sys
+import time
+import types
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+REFERENCE = "/root/reference"
+SHIM = "/tmp/refshim"
+
+STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+SIZE = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+SEED = 0
+NUM_IMAGES = 8
+NUM_CLASSES = 3
+LR = 1e-3
+
+
+# --------------------------------------------------------------------- shim
+def build_shim():
+    """Symlink the reference's module files into /tmp with a CPU config.
+
+    The reference resolves ``configs/config.json`` relative to each module's
+    ``__file__`` (e.g. ``nets/rpn.py:11``), so symlinked modules read OUR
+    config — letting us set ``device: cpu`` without touching the read-only
+    checkout.
+    """
+    import shutil
+    if os.path.isdir(SHIM):
+        shutil.rmtree(SHIM)
+    for pkg in ("nets", "utils", "models"):
+        os.makedirs(os.path.join(SHIM, pkg))
+        # packages in the reference have no __init__.py except empty ones;
+        # create empty ones so imports work without cwd tricks
+        open(os.path.join(SHIM, pkg, "__init__.py"), "w").close()
+        src = os.path.join(REFERENCE, pkg)
+        for f in os.listdir(src):
+            if f.endswith(".py") and f != "__init__.py":
+                os.symlink(os.path.join(src, f), os.path.join(SHIM, pkg, f))
+    os.makedirs(os.path.join(SHIM, "configs"))
+    with open(os.path.join(SHIM, "configs", "config.json"), "w") as f:
+        json.dump({"num_epochs": 1, "lr": LR, "train_ratio": 1.0,
+                   "eval_ratio": 1.0, "device": "cpu", "num_workers": 0,
+                   "prefetch_factor": 2, "persistent_workers": False,
+                   "batch_size": 1}, f)
+
+
+def install_torchvision_stub():
+    """Pure-torch ``torchvision.ops`` (nms + RoIPool): torchvision is not
+    installed in this container; these match its documented semantics."""
+    import torch
+
+    def nms(boxes, scores, iou_threshold):
+        order = torch.argsort(scores, descending=True)
+        keep = []
+        while order.numel() > 0:
+            i = order[0]
+            keep.append(i.item())
+            if order.numel() == 1:
+                break
+            rest = order[1:]
+            tl = torch.maximum(boxes[i, :2], boxes[rest, :2])
+            br = torch.minimum(boxes[i, 2:], boxes[rest, 2:])
+            wh = (br - tl).clamp(min=0)
+            inter = wh[:, 0] * wh[:, 1]
+            area_i = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+            area_r = (boxes[rest, 2] - boxes[rest, 0]) * \
+                (boxes[rest, 3] - boxes[rest, 1])
+            iou = inter / (area_i + area_r - inter + 1e-8)
+            order = rest[iou <= iou_threshold]
+        return torch.as_tensor(keep, dtype=torch.long)
+
+    class RoIPool(torch.nn.Module):
+        def __init__(self, output_size, spatial_scale):
+            super().__init__()
+            self.p = output_size if isinstance(output_size, int) \
+                else output_size[0]
+            self.scale = spatial_scale
+
+        def forward(self, feats, rois):
+            # rois: [K, 5] (batch_idx, x1, y1, x2, y2)
+            import torch
+            n, c, h, w = feats.shape
+            p = self.p
+            out = torch.zeros(rois.shape[0], c, p, p)
+            r = torch.round(rois[:, 1:] * self.scale).long()
+            for k in range(rois.shape[0]):
+                b = int(rois[k, 0])
+                x1, y1, x2, y2 = r[k].tolist()
+                sx, sy = max(x2 - x1, 1), max(y2 - y1, 1)
+                for py in range(p):
+                    ys = min(max(py * sy // p + y1, 0), h)
+                    ye = min(max(-((py + 1) * sy // -p) + y1, 0), h)
+                    for px in range(p):
+                        xs = min(max(px * sx // p + x1, 0), w)
+                        xe = min(max(-((px + 1) * sx // -p) + x1, 0), w)
+                        if ye > ys and xe > xs:
+                            out[k, :, py, px] = \
+                                feats[b, :, ys:ye, xs:xe].amax((-2, -1))
+            return out
+
+    tv = types.ModuleType("torchvision")
+    ops = types.ModuleType("torchvision.ops")
+    ops.nms = nms
+    ops.RoIPool = RoIPool
+    tv.ops = ops
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.ops"] = ops
+
+
+# ------------------------------------------------------------------ dataset
+def make_dataset():
+    from two_stage_object_detection_tpu.data.synthetic import (
+        generate_synthetic_coco)
+    root = f"/tmp/parity_data_{SIZE}"
+    generate_synthetic_coco(root, split="train2017", num_images=NUM_IMAGES,
+                            num_classes=NUM_CLASSES, image_size=(SIZE, SIZE),
+                            seed=SEED)
+    generate_synthetic_coco(root, split="val2017", num_images=4,
+                            num_classes=NUM_CLASSES, image_size=(SIZE, SIZE),
+                            seed=SEED + 1)
+    return root
+
+
+def load_samples(root, split="train2017"):
+    """(image f32 [H,W,3], boxes [N,4] xyxy, labels [N] 0-based) per image."""
+    import numpy as np
+    from PIL import Image
+    with open(os.path.join(root, "annotations",
+                           f"instances_{split}.json")) as f:
+        coco = json.load(f)
+    anns = {}
+    for a in coco["annotations"]:
+        anns.setdefault(a["image_id"], []).append(a)
+    out = []
+    for im in coco["images"]:
+        img = np.asarray(Image.open(
+            os.path.join(root, split, im["file_name"])).convert("RGB"),
+            np.float32) / 255.0
+        boxes, labels = [], []
+        for a in anns.get(im["id"], []):
+            x, y, w, h = a["bbox"]
+            boxes.append([x, y, x + w, y + h])
+            labels.append(a["category_id"] - 1)
+        out.append((img, np.asarray(boxes, np.float32),
+                    np.asarray(labels, np.int64)))
+    return out
+
+
+# -------------------------------------------------------------- torch side
+def run_torch_reference(samples, steps):
+    """Train the reference FasterRCNNTrainer (corrected driver: batch 1,
+    uniform img_size contract respected by construction) and return
+    (trainer, per-image predictions, seconds/step)."""
+    import numpy as np
+    import torch
+    torch.manual_seed(SEED)
+    sys.path.insert(0, SHIM)
+    from nets.frcnn_training import FasterRCNNTrainer
+
+    model = FasterRCNNTrainer(mode="train", num_classes=NUM_CLASSES)
+
+    # CORRECTION (SURVEY quirk #2): the trainer passes img_size=(3,H,W) into
+    # the head, whose y-scaling reads img_size[0] -> y coords divided by 3.
+    # Force the uniform (H, W) contract without touching the reference code.
+    orig_head_fwd = model.head.forward
+
+    def fixed_head(x, rois, roi_indices, img_size):
+        return orig_head_fwd(x, rois, roi_indices, (SIZE, SIZE))
+    model.head.forward = fixed_head
+
+    model.train()
+    opt = torch.optim.AdamW(model.parameters(), lr=LR, weight_decay=1e-4)
+
+    t0 = time.time()
+    for step in range(steps):
+        img, boxes, labels = samples[step % len(samples)]
+        x = torch.from_numpy(img).permute(2, 0, 1)[None]
+        b = torch.from_numpy(boxes)[None]
+        l = torch.from_numpy(labels)[None]
+        losses = model(x, b, l)[0]
+        total = losses[-1]
+        opt.zero_grad()
+        total.backward()
+        opt.step()
+        if step % 50 == 0:
+            print(f"  torch step {step}: loss {float(total):.4f}", flush=True)
+    sec = (time.time() - t0) / steps
+
+    model.eval()
+    preds = []
+    with torch.inference_mode():
+        for img, boxes, labels in samples:
+            x = torch.from_numpy(img).permute(2, 0, 1)[None]
+            b = torch.from_numpy(boxes)[None]
+            l = torch.from_numpy(labels)[None]
+            out = model(x, b, l)
+            pb = out[1][0].numpy()                      # [128, 4]
+            pl = out[2][0].numpy()                      # [128] (bg=0 offset)
+            ps = out[3][0].numpy()
+            preds.append((pb, ps, pl))
+    return model, preds, sec
+
+
+# ---------------------------------------------------------------- jax side
+def run_jax(root, steps):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    from two_stage_object_detection_tpu.config import Config
+    from two_stage_object_detection_tpu.train import train
+
+    cfg = Config(input_size=(SIZE, SIZE), num_classes=NUM_CLASSES,
+                 batch_size=1, max_gt_boxes=8, grad_accum_steps=1,
+                 num_epochs=max(steps // NUM_IMAGES, 1), lr=LR,
+                 train_ratio=1.0, eval_ratio=1.0, num_workers=2,
+                 compute_dtype="float32",
+                 n_train_pre_nms=min(12000, (SIZE // 16 + 2) ** 2 * 9),
+                 score_thresh=0.05)
+    t0 = time.time()
+    state = train(visualization=False, cfg=cfg, data_root=root,
+                  weights_dir="/tmp/parity_weights", eval_period=10 ** 9,
+                  seed=SEED, mesh=None)
+    sec = (time.time() - t0) / max(steps, 1)
+    return cfg, state, sec
+
+
+def eval_map(preds, gts, num_classes, prob_thresh=0.0):
+    """Shared metric: this framework's corrected mAP@0.5 for both sides."""
+    from two_stage_object_detection_tpu.eval.metrics import compute_map
+    cooked = []
+    for b, s, l in preds:
+        keep = (l > 0) & (s > prob_thresh)
+        cooked.append((b[keep], s[keep], l[keep]))
+    return compute_map(cooked, gts, num_classes, iou_threshold=0.5)["mAP"]
+
+
+def main():
+    import numpy as np
+    build_shim()
+    install_torchvision_stub()
+    root = make_dataset()
+    samples = load_samples(root)
+    gts = [(b, l + 1) for _, b, l in samples]   # bg=0 label convention
+
+    print(f"== torch reference (corrected driver), {STEPS} steps, "
+          f"{SIZE}x{SIZE} ==", flush=True)
+    tmodel, tpreds, tsec = run_torch_reference(samples, STEPS)
+    t_map = eval_map(tpreds, gts, NUM_CLASSES)
+    print(f"torch reference: mAP@0.5 = {t_map:.4f}  ({tsec:.2f} s/step)",
+          flush=True)
+
+    import torch
+    ckpt_path = "/tmp/parity_torch.pth"
+    torch.save({"model_state_dict": tmodel.state_dict()}, ckpt_path)
+
+    print(f"== this framework, same recipe ==", flush=True)
+    cfg, state, jsec = run_jax(root, STEPS)
+
+    import jax
+    from two_stage_object_detection_tpu.eval.evaluator import (
+        collect_predictions)
+    from two_stage_object_detection_tpu.eval.metrics import compute_map
+    from two_stage_object_detection_tpu.data.pipeline import (
+        DetectionDataset, Loader)
+    from two_stage_object_detection_tpu.data.coco import load_coco
+
+    idx = load_coco(os.path.join(root, "annotations", "instances_train2017.json"),
+                    os.path.join(root, "train2017"), ratio=1.0)
+    ds = DetectionDataset(idx, cfg.input_size, cfg.max_gt_boxes, train=False)
+    loader = Loader(ds, cfg.batch_size, shuffle=False, num_workers=2,
+                    device_put=jax.device_put)
+    preds, gts_j, _ = collect_predictions(state, iter(loader), cfg)
+    j_map = compute_map(preds, gts_j, NUM_CLASSES, iou_threshold=0.5)["mAP"]
+    print(f"this framework (trainer-parity eval): mAP@0.5 = {j_map:.4f}  "
+          f"({jsec:.2f} s/step)", flush=True)
+
+    # same-weights parity: torch-trained weights through OUR eval path
+    from two_stage_object_detection_tpu.utils.torch_import import (
+        load_torch_checkpoint)
+    state_imp = load_torch_checkpoint(ckpt_path, state, arch=39)
+    preds_imp, _, _ = collect_predictions(state_imp, iter(loader), cfg)
+    imp_map = compute_map(preds_imp, gts_j, NUM_CLASSES,
+                          iou_threshold=0.5)["mAP"]
+    print(f"torch weights imported -> our eval: mAP@0.5 = {imp_map:.4f}",
+          flush=True)
+
+    result = {"size": SIZE, "steps": STEPS,
+              "torch_reference_map50": round(float(t_map), 4),
+              "torch_sec_per_step": round(tsec, 3),
+              "this_framework_map50": round(float(j_map), 4),
+              "jax_sec_per_step": round(jsec, 3),
+              "imported_weights_map50": round(float(imp_map), 4)}
+    with open(os.path.join(REPO, "PARITY.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
