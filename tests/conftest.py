@@ -18,6 +18,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the big detector/train-step graphs dominate
+# suite wall time (~minutes each on this 1-core host); cache them across runs.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache_tests")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:  # older jax without these knobs — cache is best-effort
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

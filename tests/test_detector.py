@@ -65,6 +65,7 @@ def setup(_setup_once):
     return cfg, model, state_copy
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_learns(setup, rng):
     cfg, model, state = setup
     batch = tiny_batch(cfg, rng)

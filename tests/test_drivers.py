@@ -20,6 +20,7 @@ def data_root(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_train_driver(data_root, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     from two_stage_object_detection_tpu.train import train

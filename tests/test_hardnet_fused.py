@@ -1,5 +1,6 @@
 """Fused-inference HarDNet executor vs the flax module (interpret mode)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -7,6 +8,8 @@ import numpy as np
 from two_stage_object_detection_tpu.models.hardnet import (
     HarDNetFeatureExtraction)
 from two_stage_object_detection_tpu.models.hardnet_fused import (
+
+pytestmark = pytest.mark.slow
     fused_hardnet_features)
 
 

@@ -9,6 +9,7 @@ from two_stage_object_detection_tpu.models.hardnet import (
 from two_stage_object_detection_tpu.models.registry import build_backbone
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("arch", [68, 85])
 def test_hardnet_variant_shapes(arch):
     model = HarDNetFeatureExtraction(arch=arch)

@@ -42,6 +42,7 @@ def test_hardnet39_stride16_512ch(size):
     assert y.shape == (1, size[0] // 16, size[1] // 16, 512)
 
 
+@pytest.mark.slow
 def test_hardnet_batch_stats_update():
     model = HarDNetFeatureExtraction(arch=39)
     x = jnp.ones((2, 32, 32, 3))
@@ -61,7 +62,9 @@ def test_classifier_pools():
     np.testing.assert_allclose(np.asarray(y), np.asarray(x).mean(axis=(1, 2)), rtol=1e-6)
 
 
-@pytest.mark.parametrize("name,ch", [("resnet50", 1024), ("resnet34", 256)])
+@pytest.mark.parametrize("name,ch", [
+    pytest.param("resnet50", 1024, marks=pytest.mark.slow),
+    ("resnet34", 256)])
 def test_resnet_feature_shapes(name, ch):
     model, out_ch = build_backbone(name)
     assert out_ch == ch

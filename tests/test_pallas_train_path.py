@@ -2,11 +2,14 @@
 kernel in the graph (gradients are cut at the proposal inputs — the kernel
 has no AD rule)."""
 
+import pytest
 import jax
 import numpy as np
 
 from tests.test_detector import tiny_batch, tiny_config
 from two_stage_object_detection_tpu.nets.trainer import (
+
+pytestmark = pytest.mark.slow
     create_train_state, train_step)
 
 

@@ -2,12 +2,14 @@
 
 import jax
 import numpy as np
+import pytest
 
 from tests.test_detector import tiny_batch, tiny_config
 from two_stage_object_detection_tpu.nets.trainer import (
     create_train_state, predict_step, train_step)
 
 
+@pytest.mark.slow
 def test_resnet50_detector_train_and_predict(rng):
     cfg = tiny_config(backbone="resnet50", backbone_channels=1024)
     _, state = create_train_state(cfg, jax.random.PRNGKey(0),

@@ -3,6 +3,7 @@
 XLA inserts conv halo exchanges; results must match the unsharded run.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -11,6 +12,8 @@ from tests.test_detector import tiny_batch, tiny_config
 from two_stage_object_detection_tpu.nets.trainer import (
     create_train_state, train_step)
 from two_stage_object_detection_tpu.parallel.mesh import (
+
+pytestmark = pytest.mark.slow
     make_mesh, replicate, shard_batch_spatial)
 
 
