@@ -67,8 +67,10 @@ def main():
         return dt
 
     only = os.environ.get("VARIANTS", "all")
+    remat = os.environ.get("REMAT", "0") == "1"
     if only in ("all", "default"):
-        bench_cfg("pool bf16 (default)")
+        bench_cfg(f"pool bf16 (default{' remat' if remat else ''})",
+                  remat_backbone=remat)
     if only == "all":
         bench_cfg("align bf16", roi_pool_mode="align")
         bench_cfg("pool bf16 freeze_bn", freeze_bn=True)

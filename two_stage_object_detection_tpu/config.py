@@ -117,6 +117,10 @@ class Config:
     # "pallas" (roi_pool_fast — bounded VMEM where XLA's transposed reduce
     # can materialise a [R,P,H,W,C] broadcast; use if training OOMs)
     roi_bwd: str = "xla"
+    # rematerialise HarDBlocks in the backward pass (jax.checkpoint): trades
+    # one extra block forward for the dense-concat activation memory —
+    # required for train batches >16 at 600x600 on a single v5e
+    remat_backbone: bool = False
 
     @property
     def n_anchors_per_cell(self) -> int:

@@ -177,11 +177,18 @@ class HarDNetFeatureExtraction(nn.Module):
     arch: int = 39
     depth_wise: bool = True
     dtype: Dtype = jnp.float32
+    # rematerialise each HarDBlock under jax.checkpoint: its backward then
+    # recomputes the block forward instead of keeping every layer's
+    # activations live (HarDNet's dense concat topology makes those the
+    # dominant HBM cost at 600x600 — batch 32 OOMs without this)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         first_ch, ch_list, grmul, gr, n_layers, down_samp = _ARCH[self.arch]
         second_kernel = 1 if self.depth_wise else 3
+        block_cls = (nn.remat(HarDBlock, static_argnums=(2,)) if self.remat
+                     else HarDBlock)
 
         x = ConvLayer(first_ch[0], kernel=3, stride=2, dtype=self.dtype,
                       name="stem0")(x, train)
@@ -195,7 +202,7 @@ class HarDNetFeatureExtraction(nn.Module):
 
         ch = first_ch[1]
         for i in range(len(n_layers)):
-            blk = HarDBlock(ch, gr[i], grmul, n_layers[i],
+            blk = block_cls(ch, gr[i], grmul, n_layers[i],
                             dwconv=self.depth_wise, dtype=self.dtype,
                             name=f"block{i}")
             x = blk(x, train)

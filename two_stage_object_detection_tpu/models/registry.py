@@ -8,16 +8,21 @@ from two_stage_object_detection_tpu.models.hardnet import HarDNetFeatureExtracti
 from two_stage_object_detection_tpu.models.resnet import ResNetFeatureExtraction
 
 
-def build_backbone(name: str, dtype=jnp.float32):
+def build_backbone(name: str, dtype=jnp.float32, remat: bool = False):
     """Build a stride-16 feature extractor by name.
 
     Supported: hardnet39/68/85 (reference ``models/hardnet.py:126-152``),
     resnet34/50/101 and resnext50 (reference ``models/resnet.py:154-172``).
+
+    ``remat``: rematerialise HarDBlock activations in the backward pass
+    (``jax.checkpoint``) — trades ~1 extra block forward for the block's
+    activation memory, unlocking large train batches (batch 32 @ 600x600
+    otherwise exceeds v5e HBM).
     """
     name = name.lower()
     if name.startswith("hardnet"):
         arch = int(name.replace("hardnet", ""))
-        mod = HarDNetFeatureExtraction(arch=arch, dtype=dtype)
+        mod = HarDNetFeatureExtraction(arch=arch, dtype=dtype, remat=remat)
         return mod, mod.out_channels
     table = {
         "resnet34": dict(block="basic", blocks_num=(3, 4, 6)),

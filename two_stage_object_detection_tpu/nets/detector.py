@@ -45,7 +45,8 @@ class FasterRCNN(nn.Module):
     def setup(self):
         cfg = self.cfg
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-        self.extractor, self.feat_channels = build_backbone(cfg.backbone, dtype)
+        self.extractor, self.feat_channels = build_backbone(
+            cfg.backbone, dtype, remat=cfg.remat_backbone)
         self.rpn_head = RPNHead(n_anchors=cfg.n_anchors_per_cell, dtype=dtype)
         self.roi_head = RoIHead(n_class=cfg.num_classes + 1,
                                 roi_size=cfg.roi_size,
