@@ -238,7 +238,8 @@ def _loader(cfg, root, device_put=None):
         DetectionDataset, Loader)
     idx = load_coco(os.path.join(root, "annotations", "instances_train2017.json"),
                     os.path.join(root, "train2017"), ratio=1.0)
-    ds = DetectionDataset(idx, cfg.input_size, cfg.max_gt_boxes, train=True)
+    ds = DetectionDataset(idx, cfg.input_size, cfg.max_gt_boxes, train=True,
+                          decode_only=cfg.device_augment)
     return Loader(ds, cfg.batch_size, shuffle=True,
                   num_workers=cfg.num_workers, prefetch=cfg.prefetch_factor,
                   device_put=device_put, worker_mode=cfg.worker_mode,
@@ -251,7 +252,8 @@ def bench_pipeline(batch=16):
     from two_stage_object_detection_tpu.config import Config
 
     cfg = Config(batch_size=batch, max_gt_boxes=16,
-                 worker_mode=os.environ.get("BENCH_WORKERS", "thread"))
+                 worker_mode=os.environ.get("BENCH_WORKERS", "thread"),
+                 device_augment=os.environ.get("BENCH_PIPELINE", "") == "device")
     root = _bench_data_root()
     loader = _loader(cfg, root)
     n_img, sink = 0, 0.0
@@ -265,12 +267,13 @@ def bench_pipeline(batch=16):
             sink += float(b["image"][0, 0, 0, 0])
     dt = time.perf_counter() - t0
     ips = n_img / dt
-    log(f"pipeline ({cfg.worker_mode} x{cfg.num_workers}): "
-        f"{ips:.1f} img/s host decode+augment ({n_img} images, sink={sink:.1f})")
+    mode = "decode-only" if cfg.device_augment else "decode+augment"
+    log(f"pipeline ({cfg.worker_mode} x{cfg.num_workers}, {mode}): "
+        f"{ips:.1f} img/s host ({n_img} images, sink={sink:.1f})")
     loader.close()
     return {"images_per_sec": round(ips, 2), "batch": batch,
             "worker_mode": cfg.worker_mode, "num_workers": cfg.num_workers,
-            "images": n_img}
+            "host_stage": mode, "images": n_img}
 
 
 def bench_trainloop(batch=16, steps=24):
@@ -282,7 +285,8 @@ def bench_trainloop(batch=16, steps=24):
         create_train_state, train_step)
 
     cfg = Config(batch_size=batch, max_gt_boxes=16, grad_accum_steps=1,
-                 worker_mode=os.environ.get("BENCH_WORKERS", "thread"))
+                 worker_mode=os.environ.get("BENCH_WORKERS", "thread"),
+                 device_augment=os.environ.get("BENCH_PIPELINE", "") == "device")
     root = _bench_data_root()
     loader = _loader(cfg, root, device_put=jax.device_put)
     _, state = create_train_state(cfg, jax.random.PRNGKey(0),
@@ -297,7 +301,8 @@ def bench_trainloop(batch=16, steps=24):
             except StopIteration:
                 it = iter(loader)
                 continue
-            state, losses = train_step(state, b, rng)
+            state, losses = train_step(state, b, rng,
+                                       device_augment=cfg.device_augment)
             done += 1
         jax.device_get(losses["total"])
         return state
@@ -315,7 +320,8 @@ def bench_trainloop(batch=16, steps=24):
     return {"images_per_sec": round(ips, 2), "batch": batch,
             "sec_per_batch": dt, "steps": steps,
             "worker_mode": cfg.worker_mode,
-            "includes": "host decode+augment+device_put+full train step"}
+            "device_augment": cfg.device_augment,
+            "includes": "host decode(+augment)+device_put+full train step"}
 
 
 VALID_CONFIGS = ("batched16", "single1", "resnet50", "rpn8", "train16",

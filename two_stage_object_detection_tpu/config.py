@@ -101,6 +101,9 @@ class Config:
     # loader worker pool: "thread" (C++ decode releases the GIL) or
     # "process" (reference DataLoader-worker parity, dataset/dataloader.py:63-74)
     worker_mode: str = "thread"
+    # run the training augmentation chain on device (host does only the C++
+    # decode+resize) — lifts the host input ceiling ~4x on few-core hosts
+    device_augment: bool = False
 
     # TPU execution
     compute_dtype: str = "bfloat16"   # conv/matmul compute dtype; params stay f32

@@ -31,15 +31,24 @@ from two_stage_object_detection_tpu.data.transforms import (
 
 
 class DetectionDataset:
-    """Fixed-shape detection samples from a :class:`CocoIndex`."""
+    """Fixed-shape detection samples from a :class:`CocoIndex`.
+
+    ``decode_only=True``: the host does just the C++ decode+resize
+    (``native/preprocess.cpp`` fused ``decode_resize_normalize``) and box
+    rescale; the augmentation chain runs on device inside the train step
+    (:mod:`.device_transforms`).  ~4x the host throughput of the full
+    host-side chain on this 1-core container.
+    """
 
     def __init__(self, index: CocoIndex, input_size=(600, 600),
-                 max_gt: int = 100, train: bool = True, seed: int = 0):
+                 max_gt: int = 100, train: bool = True, seed: int = 0,
+                 decode_only: bool = False):
         self.index = index
         self.input_size = tuple(input_size)
         self.max_gt = max_gt
         self.train = train
         self.seed = seed
+        self.decode_only = decode_only
 
     def __len__(self):
         return len(self.index.records)
@@ -53,14 +62,39 @@ class DetectionDataset:
         img = Image.open(rec["image_path"]).convert("RGB")
         return np.asarray(img, np.float32) / 255.0
 
+    def _decode_resized(self, rec):
+        """Fused decode+resize -> (img f32 [H,W,3], boxes scaled, labels)."""
+        from two_stage_object_detection_tpu.data import native
+        from two_stage_object_detection_tpu.data.transforms import (
+            sanitize_boxes)
+
+        out = native.decode_resize(rec["image_path"], self.input_size)
+        if out is not None:
+            img, oh, ow = out
+        else:
+            pil = Image.open(rec["image_path"]).convert("RGB")
+            ow, oh = pil.size
+            h1, w1 = self.input_size
+            img = np.asarray(pil.resize((w1, h1), Image.BILINEAR),
+                             np.float32) / 255.0
+        h1, w1 = self.input_size
+        boxes = rec["boxes"] * np.array([w1 / ow, h1 / oh, w1 / ow, h1 / oh],
+                                        np.float32)
+        boxes, labels = sanitize_boxes(boxes, rec["labels"], self.input_size)
+        return img, boxes, labels
+
     def __getitem__(self, i: int):
         rec = self.index.records[i]
-        img = self.load_image(rec)
-        boxes = rec["boxes"]
-        labels = rec["labels"]
-        rng = np.random.RandomState((self.seed * 100003 + i) % (2 ** 31))
-        tf = train_transform if self.train else eval_transform
-        img, boxes, labels = tf(img, boxes, labels, rng, size=self.input_size)
+        if self.decode_only:
+            img, boxes, labels = self._decode_resized(rec)
+        else:
+            img = self.load_image(rec)
+            boxes = rec["boxes"]
+            labels = rec["labels"]
+            rng = np.random.RandomState((self.seed * 100003 + i) % (2 ** 31))
+            tf = train_transform if self.train else eval_transform
+            img, boxes, labels = tf(img, boxes, labels, rng,
+                                    size=self.input_size)
 
         g = self.max_gt
         out_boxes = np.zeros((g, 4), np.float32)

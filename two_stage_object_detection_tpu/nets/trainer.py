@@ -66,14 +66,26 @@ def create_train_state(cfg: Config, rng: jax.Array,
 
 
 def train_step_fn(state: TrainState, batch: Dict[str, jnp.ndarray],
-                  rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+                  rng: jax.Array, device_augment: bool = False
+                  ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One optimisation micro-step on a (possibly device-sharded) batch.
 
     ``batch``: dict with ``image [B,H,W,3]``, ``boxes [B,G,4]``,
     ``labels [B,G]``, ``valid [B,G]``.  Unjitted body — callable from inside
     other traced code (e.g. the bench's ``lax.scan`` loop); use
     :func:`train_step` for the compiled driver entry.
+
+    ``device_augment``: run the training augmentation chain on device as
+    part of this step (host delivered decode+resize-only batches; see
+    ``data/device_transforms.py``).
     """
+    if device_augment:
+        from two_stage_object_detection_tpu.data.device_transforms import (
+            augment_batch)
+        rng, aug_rng = jax.random.split(rng)
+        img, boxes = augment_batch(batch["image"], batch["boxes"], aug_rng)
+        batch = {**batch, "image": img, "boxes": boxes}
+
     def loss_fn(params):
         out, mutated = state.apply_fn(
             {"params": params, "batch_stats": state.batch_stats},
@@ -88,7 +100,8 @@ def train_step_fn(state: TrainState, batch: Dict[str, jnp.ndarray],
     return state, losses
 
 
-train_step = jax.jit(train_step_fn, donate_argnums=(0,))
+train_step = jax.jit(train_step_fn, donate_argnums=(0,),
+                     static_argnames=("device_augment",))
 
 
 @functools.partial(jax.jit, static_argnames=("deterministic",))
