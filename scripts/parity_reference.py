@@ -38,6 +38,11 @@ SEED = 0
 NUM_IMAGES = 8
 NUM_CLASSES = 3
 LR = 1e-3
+# proposals kept after NMS, both frameworks (see the latent-crash correction
+# in run_torch_reference; must be >= 128 + a few so the reference's 128-roi
+# sampler can fill, and <= the post-filter candidate pool so its arange pad
+# stays in bounds)
+POST_NMS = 200
 
 
 # --------------------------------------------------------------------- shim
@@ -184,6 +189,17 @@ def run_torch_reference(samples, steps):
 
     model = FasterRCNNTrainer(mode="train", num_classes=NUM_CLASSES)
 
+    # CORRECTION (latent reference crash): ProposalCreator pads NMS survivors
+    # with ``arange(n_post - len(keep))`` *row indices* (rpn.py:65-69); when
+    # the candidate pool after the min-size filter is smaller than that pad
+    # count (always true for small images: 128x128 -> 576 anchors), the
+    # ``roi[keep]`` gather indexes out of bounds.  Run both frameworks with
+    # POST_NMS proposals so the pad indices stay in range (and the reference's
+    # hard-coded 128-roi head, classify.py:38, can still fill its samples).
+    pl = model.rpn.proposal_layer
+    pl.n_train_post_nms = POST_NMS
+    pl.n_test_post_nms = POST_NMS
+
     # CORRECTION (SURVEY quirk #2): the trainer passes img_size=(3,H,W) into
     # the head, whose y-scaling reads img_size[0] -> y coords divided by 3.
     # Force the uniform (H, W) contract without touching the reference code.
@@ -240,6 +256,7 @@ def run_jax(root, steps):
                  train_ratio=1.0, eval_ratio=1.0, num_workers=2,
                  compute_dtype="float32",
                  n_train_pre_nms=min(12000, (SIZE // 16 + 2) ** 2 * 9),
+                 n_train_post_nms=POST_NMS, n_test_post_nms=POST_NMS,
                  score_thresh=0.05)
     t0 = time.time()
     state = train(visualization=False, cfg=cfg, data_root=root,

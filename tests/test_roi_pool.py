@@ -2,7 +2,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from two_stage_object_detection_tpu.ops.roi_pool import roi_align, roi_pool
+from two_stage_object_detection_tpu.ops.roi_pool import (
+    roi_align, roi_pool, roi_pool_mean, roi_pool_structured)
 
 
 def naive_roi_pool(feat, rois, p, scale):
@@ -75,6 +76,78 @@ def test_roi_align_linear_field():
     bw = 10.0 / 4
     want_x = 5.0 + (np.arange(4) + 0.5) * bw
     np.testing.assert_allclose(got[0, 0, :, 0], want_x, rtol=1e-5)
+
+
+def test_roi_pool_structured_matches_forward_and_grad(rng):
+    """The custom-VJP variant must be bit-equal to XLA autodiff, fwd and bwd."""
+    feat = jnp.array(rng.randn(25, 25, 16).astype(np.float32))
+    rois = rng.rand(12, 4).astype(np.float32) * 300
+    rois[:, 2:] = rois[:, :2] + rng.rand(12, 2).astype(np.float32) * 120 + 16
+    rois = jnp.array(rois)
+
+    out_ref = roi_pool(feat, rois, 7, 1.0 / 16)
+    out_sv = roi_pool_structured(feat, rois, 7, 1.0 / 16)
+    np.testing.assert_array_equal(np.asarray(out_ref), np.asarray(out_sv))
+
+    # downstream-weighted loss so the cotangent is non-uniform
+    wgt = jnp.array(rng.randn(*out_ref.shape).astype(np.float32))
+    g_ref = jax.grad(lambda f: jnp.sum(roi_pool(f, rois, 7, 1.0 / 16) * wgt))(feat)
+    g_sv = jax.grad(
+        lambda f: jnp.sum(roi_pool_structured(f, rois, 7, 1.0 / 16) * wgt))(feat)
+    np.testing.assert_allclose(np.asarray(g_ref), np.asarray(g_sv),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_roi_pool_structured_grad_vmap(rng):
+    """Batched (vmapped) structured grads match per-image XLA grads."""
+    feats = jnp.array(rng.randn(2, 19, 19, 4).astype(np.float32))
+    rois = rng.rand(2, 6, 4).astype(np.float32) * 200
+    rois[..., 2:] = rois[..., :2] + 60
+    rois = jnp.array(rois)
+
+    def loss(pool_fn, f):
+        out = jax.vmap(lambda a, b: pool_fn(a, b, 7, 1.0 / 16))(f, rois)
+        return jnp.sum(out * (1.0 + jnp.arange(out.size).reshape(out.shape) % 3))
+
+    g_ref = jax.grad(lambda f: loss(roi_pool, f))(feats)
+    g_sv = jax.grad(lambda f: loss(roi_pool_structured, f))(feats)
+    np.testing.assert_allclose(np.asarray(g_ref), np.asarray(g_sv),
+                               rtol=1e-6, atol=1e-6)
+
+
+def naive_roi_pool_mean(feat, rois, p, scale):
+    """Numpy bin-average with the same adaptive edges as naive_roi_pool."""
+    h, w, c = feat.shape
+    out = np.zeros((len(rois), p, p, c), np.float32)
+    for r, roi in enumerate(rois):
+        x1, y1, x2, y2 = (int(v) for v in np.round(roi.astype(np.float32) * np.float32(scale)))
+        rw = max(x2 - x1, 1)
+        rh = max(y2 - y1, 1)
+        for ph in range(p):
+            for pw in range(p):
+                hs = int(np.clip(ph * rh // p + y1, 0, h))
+                he = int(np.clip(-((ph + 1) * rh // -p) + y1, 0, h))
+                ws = int(np.clip(pw * rw // p + x1, 0, w))
+                we = int(np.clip(-((pw + 1) * rw // -p) + x1, 0, w))
+                if he > hs and we > ws:
+                    out[r, ph, pw] = feat[hs:he, ws:we].mean(axis=(0, 1))
+    return out
+
+
+def test_roi_pool_mean_matches_naive(rng):
+    feat = rng.randn(38, 38, 8).astype(np.float32)
+    rois = rng.rand(16, 4).astype(np.float32) * 500
+    rois[:, 2:] = rois[:, :2] + rng.rand(16, 2).astype(np.float32) * 100 + 20
+    got = np.asarray(roi_pool_mean(jnp.array(feat), jnp.array(rois), 7, 1.0 / 16))
+    want = naive_roi_pool_mean(feat, rois, 7, 1.0 / 16)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_roi_pool_mean_empty_bins_zero():
+    feat = np.ones((10, 10, 2), np.float32)
+    rois = np.array([[-20.0, -20.0, -5.0, -5.0]], np.float32)
+    got = np.asarray(roi_pool_mean(jnp.array(feat), jnp.array(rois), 7, 1.0))
+    np.testing.assert_allclose(got, 0.0)
 
 
 def test_roi_ops_vmap(rng):

@@ -74,7 +74,10 @@ class Config:
 
     # head (reference nets/classify.py:17, nets/frcnn_training.py:213-217)
     roi_size: int = 7
-    roi_pool_mode: str = "pool"    # "pool" (reference RoIPool parity) | "align"
+    # "pool": reference RoIPool-max parity; "align": bilinear RoIAlign
+    # (quality option); "mean": adaptive-bin averaging on the MXU (fastest
+    # train path; train and eval must use the same mode)
+    roi_pool_mode: str = "pool"
 
     # inference (true predict path; reference lacks one — nets/frcnn.py is
     # dead). predict_nms_iou matches the reference's final inference NMS
@@ -116,10 +119,12 @@ class Config:
     # (measured 2.0ms vs 5.0ms for the Pallas kernel, 128 rois @ 38x38x512),
     # so the Pallas variant is opt-in
     pallas_roi: bool = False
-    # RoI pooling backward: "xla" autodiff (fastest: 212 vs 257 ms/step) or
-    # "pallas" (roi_pool_fast — bounded VMEM where XLA's transposed reduce
-    # can materialise a [R,P,H,W,C] broadcast; use if training OOMs)
-    roi_bwd: str = "xla"
+    # RoI max-pool backward: "structured" (hand-written VJP, same values and
+    # tie semantics as XLA autodiff but reduce-fusable — 32 vs 49 ms at
+    # train scale), "xla" autodiff, or "pallas" (roi_pool_fast — bounded
+    # VMEM where XLA's transposed reduce can materialise a [R,P,H,W,C]
+    # broadcast; use if training OOMs)
+    roi_bwd: str = "structured"
     # rematerialise HarDBlocks in the backward pass (jax.checkpoint): trades
     # one extra block forward for the dense-concat activation memory —
     # required for train batches >16 at 600x600 on a single v5e

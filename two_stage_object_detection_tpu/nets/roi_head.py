@@ -20,7 +20,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from two_stage_object_detection_tpu.ops.roi_pool import roi_align, roi_pool
+from two_stage_object_detection_tpu.ops.roi_pool import (
+    roi_align, roi_pool, roi_pool_mean, roi_pool_structured)
 
 
 class RoIHead(nn.Module):
@@ -29,9 +30,9 @@ class RoIHead(nn.Module):
 
     n_class: int                      # includes background
     roi_size: int = 7
-    pool_mode: str = "pool"           # "pool" (reference parity) | "align"
+    pool_mode: str = "pool"           # "pool" (reference parity) | "align" | "mean"
     use_pallas: bool = False          # pallas RoI-pool forward kernel
-    roi_bwd: str = "xla"              # "xla" | "pallas" backward (see Config)
+    roi_bwd: str = "structured"       # "structured" | "xla" | "pallas" (see Config)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -47,19 +48,29 @@ class RoIHead(nn.Module):
         if self.pool_mode == "align":
             pooled = jax.vmap(
                 lambda f, r: roi_align(f, r, self.roi_size, 1.0))(feats, rois_feat)
+        elif self.pool_mode == "mean":
+            # MXU matmul pooling — fastest train path, NOT RoIPool-max parity
+            pooled = jax.vmap(
+                lambda f, r: roi_pool_mean(f, r, self.roi_size, 1.0))(feats, rois_feat)
         elif self.use_pallas:
             from two_stage_object_detection_tpu.ops.pallas_roi import (
                 roi_pool_pallas)
             pooled = jax.vmap(
                 lambda f, r: roi_pool_pallas(f, r, self.roi_size, 1.0))(feats, rois_feat)
         elif self.roi_bwd == "pallas":
-            # XLA-fused forward + Pallas backward: slightly slower end to end
-            # (257 vs 212 ms/step) but bounded VMEM where XLA's transposed
-            # reduce can materialise the [R,P,H,W,C] broadcast (39 GB seen)
+            # XLA-fused forward + Pallas backward: slower end to end but
+            # bounded VMEM where XLA's transposed reduce can materialise the
+            # [R,P,H,W,C] broadcast (39 GB seen)
             from two_stage_object_detection_tpu.ops.pallas_roi_bwd import (
                 roi_pool_fast)
             pooled = roi_pool_fast(feats, rois_feat, self.roi_size, 1.0,
                                    jax.default_backend() == "cpu")
+        elif self.roi_bwd == "structured":
+            # identical values + tie semantics, hand-structured VJP that XLA
+            # reduce-fuses (32 vs 49 ms at train scale; ops/roi_pool.py)
+            pooled = jax.vmap(
+                lambda f, r: roi_pool_structured(f, r, self.roi_size, 1.0))(
+                    feats, rois_feat)
         else:
             pooled = jax.vmap(
                 lambda f, r: roi_pool(f, r, self.roi_size, 1.0))(feats, rois_feat)
