@@ -7,7 +7,8 @@ import numpy as np
 from two_stage_object_detection_tpu.nets.rpn import create_proposals
 from two_stage_object_detection_tpu.ops.anchors import (
     enumerate_shifted_anchor, generate_basic_anchor)
-from two_stage_object_detection_tpu.ops.pallas_proposals import fused_proposals
+from two_stage_object_detection_tpu.ops.pallas_proposals import (
+    fused_proposals, fused_proposals_batched)
 
 
 def _anchors(h=4, w=4):
@@ -57,6 +58,53 @@ def test_fused_output_is_score_sorted(rng):
                                            min_size=1.0, interpret=True)
     s = np.asarray(out_scores)[np.asarray(valid)]
     assert (s[:-1] >= s[1:]).all()
+
+
+def test_batched_matches_per_image(rng):
+    """The whole-batch kernel must equal the per-image kernel exactly."""
+    anchors = _anchors(5, 5)
+    n = anchors.shape[0]
+    b = 3
+    locs = jnp.array(rng.randn(b, n, 4).astype(np.float32) * 0.1)
+    scores = jnp.array(rng.rand(b, n).astype(np.float32))
+
+    rois_b, scores_b, valid_b = fused_proposals_batched(
+        locs, scores, anchors, (80, 80), nms_iou=0.7, n_post_nms=16,
+        min_size=2.0, interpret=True)
+    assert rois_b.shape == (b, 16, 4)
+    for i in range(b):
+        r, s, v = fused_proposals(locs[i], scores[i], anchors, (80, 80),
+                                  nms_iou=0.7, n_post_nms=16, min_size=2.0,
+                                  interpret=True)
+        np.testing.assert_array_equal(np.asarray(valid_b[i]), np.asarray(v))
+        np.testing.assert_allclose(np.asarray(rois_b[i]), np.asarray(r),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(scores_b[i]), np.asarray(s),
+                                   rtol=1e-6)
+
+
+def test_batched_chunking(rng):
+    """Batches beyond the 16-image VMEM chunk are split and reassembled."""
+    import two_stage_object_detection_tpu.ops.pallas_proposals as pp
+    anchors = _anchors()
+    n = anchors.shape[0]
+    b = 5
+    locs = jnp.array(rng.randn(b, n, 4).astype(np.float32) * 0.1)
+    scores = jnp.array(rng.rand(b, n).astype(np.float32))
+    full = fused_proposals_batched(locs, scores, anchors, (64, 64),
+                                   nms_iou=0.7, n_post_nms=8, min_size=2.0,
+                                   interpret=True)
+    orig = pp._MAX_KERNEL_BATCH
+    try:
+        pp._MAX_KERNEL_BATCH = 2
+        # bypass the jit cache (it doesn't key on the chunk limit)
+        chunked = fused_proposals_batched.__wrapped__(
+            locs, scores, anchors, (64, 64), nms_iou=0.7, n_post_nms=8,
+            min_size=2.0, interpret=True)
+    finally:
+        pp._MAX_KERNEL_BATCH = orig
+    for a, c in zip(full, chunked):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-6)
 
 
 def test_fused_vmap(rng):

@@ -8,9 +8,9 @@ import numpy as np
 
 from tests.test_detector import tiny_batch, tiny_config
 from two_stage_object_detection_tpu.nets.trainer import (
+    create_train_state, train_step)
 
 pytestmark = pytest.mark.slow
-    create_train_state, train_step)
 
 
 def test_train_step_with_pallas_proposals(rng):

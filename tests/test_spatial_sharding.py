@@ -12,9 +12,9 @@ from tests.test_detector import tiny_batch, tiny_config
 from two_stage_object_detection_tpu.nets.trainer import (
     create_train_state, train_step)
 from two_stage_object_detection_tpu.parallel.mesh import (
+    make_mesh, replicate, shard_batch_spatial)
 
 pytestmark = pytest.mark.slow
-    make_mesh, replicate, shard_batch_spatial)
 
 
 def test_spatial_sharded_train_step_matches_single_device():

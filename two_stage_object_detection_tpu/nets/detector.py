@@ -95,19 +95,18 @@ class FasterRCNN(nn.Module):
         n_post = cfg.n_train_post_nms if train else cfg.n_test_post_nms
         if self._use_pallas():
             from two_stage_object_detection_tpu.ops.pallas_proposals import (
-                fused_proposals)
-            fn = functools.partial(
-                fused_proposals, anchors=anchors, img_size=tuple(img_size),
+                fused_proposals_batched)
+            return fused_proposals_batched(
+                rpn_locs, fg, anchors, tuple(img_size),
                 nms_iou=cfg.rpn_nms_iou, n_post_nms=n_post,
                 min_size=cfg.proposal_min_size * scale,
                 # pallas="on" with a CPU backend runs the kernel interpreted
                 interpret=jax.default_backend() == "cpu")
-        else:
-            fn = functools.partial(
-                create_proposals,
-                anchors=anchors, img_size=img_size, nms_iou=cfg.rpn_nms_iou,
-                n_pre_nms=cfg.n_train_pre_nms if train else cfg.n_test_pre_nms,
-                n_post_nms=n_post, min_size=cfg.proposal_min_size, scale=scale)
+        fn = functools.partial(
+            create_proposals,
+            anchors=anchors, img_size=img_size, nms_iou=cfg.rpn_nms_iou,
+            n_pre_nms=cfg.n_train_pre_nms if train else cfg.n_test_pre_nms,
+            n_post_nms=n_post, min_size=cfg.proposal_min_size, scale=scale)
         return jax.vmap(fn)(rpn_locs, fg)
 
     # ----------------------------------------------------------------- train

@@ -127,6 +127,159 @@ def _fused_kernel(locs_ref, scores_ref, anchors_ref,
     valid_out_ref[0:1, :] = oval
 
 
+def _batched_kernel(locs_ref, scores_ref, anchors_ref,
+                    boxes_out_ref, scores_out_ref, valid_out_ref,
+                    *, n_post: int, iou_threshold: float, min_size: float,
+                    img_h: float, img_w: float):
+    """Whole-batch variant of :func:`_fused_kernel`.
+
+    All per-anchor rows are ``[B, N]`` (images on sublanes), so each of the
+    ``n_post`` greedy-NMS steps does full-width vector work for the whole
+    batch instead of one image — 16 images cost one image's step count.
+    """
+    b, n = scores_ref.shape
+
+    ax1 = anchors_ref[0:1, :]
+    ay1 = anchors_ref[1:2, :]
+    ax2 = anchors_ref[2:3, :]
+    ay2 = anchors_ref[3:4, :]
+    aw = ax2 - ax1
+    ah = ay2 - ay1
+    acx = ax1 + 0.5 * aw
+    acy = ay1 + 0.5 * ah
+
+    cx = locs_ref[0] * aw + acx                       # [B, N]
+    cy = locs_ref[1] * ah + acy
+    w = jnp.exp(locs_ref[2]) * aw
+    h = jnp.exp(locs_ref[3]) * ah
+
+    x1 = jnp.clip(cx - 0.5 * w, 0.0, img_w)
+    y1 = jnp.clip(cy - 0.5 * h, 0.0, img_h)
+    x2 = jnp.clip(cx + 0.5 * w, 0.0, img_w)
+    y2 = jnp.clip(cy + 0.5 * h, 0.0, img_h)
+
+    bw = x2 - x1
+    bh = y2 - y1
+    area = bw * bh
+    ok = (bw >= min_size) & (bh >= min_size)
+    s = jnp.where(ok, scores_ref[:], NEG)
+
+    lane = lax.broadcasted_iota(jnp.int32, (b, n), 1)
+    k_pad = scores_out_ref.shape[1]
+    out_lane = lax.broadcasted_iota(jnp.int32, (b, k_pad), 1)
+
+    def body(k, carry):
+        s_alive, ox1, oy1, ox2, oy2, osc, oval = carry
+        i = jnp.argmax(s_alive, axis=1, keepdims=True)       # [B, 1]
+        one_hot = (lane == i).astype(jnp.float32)            # [B, N]
+        sc = jnp.sum(s_alive * one_hot, axis=1, keepdims=True)
+        valid = sc > NEG / 2                                 # [B, 1]
+
+        bx1 = jnp.sum(x1 * one_hot, axis=1, keepdims=True)   # [B, 1]
+        by1 = jnp.sum(y1 * one_hot, axis=1, keepdims=True)
+        bx2 = jnp.sum(x2 * one_hot, axis=1, keepdims=True)
+        by2 = jnp.sum(y2 * one_hot, axis=1, keepdims=True)
+        barea = jnp.sum(area * one_hot, axis=1, keepdims=True)
+
+        ix1 = jnp.maximum(x1, bx1)
+        iy1 = jnp.maximum(y1, by1)
+        ix2 = jnp.minimum(x2, bx2)
+        iy2 = jnp.minimum(y2, by2)
+        inter = jnp.maximum(ix2 - ix1, 0.0) * jnp.maximum(iy2 - iy1, 0.0)
+        iou = inter / (area + barea - inter + 1e-8)
+
+        suppress = (iou > iou_threshold) | (one_hot > 0.0)
+        s_alive = jnp.where(suppress, NEG, s_alive)
+
+        vf = valid.astype(jnp.float32)
+        sel = out_lane == k
+        ox1 = jnp.where(sel, bx1 * vf, ox1)
+        oy1 = jnp.where(sel, by1 * vf, oy1)
+        ox2 = jnp.where(sel, bx2 * vf, ox2)
+        oy2 = jnp.where(sel, by2 * vf, oy2)
+        osc = jnp.where(sel, sc * vf, osc)
+        oval = jnp.where(sel, valid.astype(jnp.int32), oval)
+        return s_alive, ox1, oy1, ox2, oy2, osc, oval
+
+    zf = jnp.zeros((b, k_pad), jnp.float32)
+    zi = jnp.zeros((b, k_pad), jnp.int32)
+    _, ox1, oy1, ox2, oy2, osc, oval = lax.fori_loop(
+        0, n_post, body, (s, zf, zf, zf, zf, zf, zi))
+    boxes_out_ref[0] = ox1
+    boxes_out_ref[1] = oy1
+    boxes_out_ref[2] = ox2
+    boxes_out_ref[3] = oy2
+    scores_out_ref[:] = osc
+    valid_out_ref[:] = oval
+
+
+# VMEM holds ~12 [B, N] f32 rows of the anchor grid (~0.65 MB per image at
+# 13k anchors); 16 images stay well inside the ~16 MB budget.
+_MAX_KERNEL_BATCH = 16
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "img_size", "nms_iou", "n_post_nms", "min_size", "interpret"))
+def fused_proposals_batched(rpn_locs: jnp.ndarray, rpn_fg_scores: jnp.ndarray,
+                            anchors: jnp.ndarray, img_size, *, nms_iou: float,
+                            n_post_nms: int, min_size: float,
+                            interpret: bool = False):
+    """Whole-batch fused decode+clamp+filter+NMS.
+
+    Args:
+      rpn_locs: ``[B, N, 4]``.  rpn_fg_scores: ``[B, N]``.
+      anchors: ``[N, 4]``.  img_size: static ``(H, W)``.
+
+    Returns:
+      ``(rois [B, n_post, 4], scores [B, n_post], valid [B, n_post])``.
+
+    One kernel invocation per <=16-image chunk; each of the ``n_post``
+    sequential greedy steps processes the whole chunk on the VPU sublanes
+    (measured: batch 16 at train scale drops ~13 ms -> ~2 ms vs the
+    per-image vmapped kernel).
+    """
+    bsz, n, _ = rpn_locs.shape
+    if bsz > _MAX_KERNEL_BATCH:
+        splits = [
+            fused_proposals_batched(
+                rpn_locs[i:i + _MAX_KERNEL_BATCH],
+                rpn_fg_scores[i:i + _MAX_KERNEL_BATCH], anchors, img_size,
+                nms_iou=nms_iou, n_post_nms=n_post_nms, min_size=min_size,
+                interpret=interpret)
+            for i in range(0, bsz, _MAX_KERNEL_BATCH)]
+        return tuple(jnp.concatenate(parts, axis=0) for parts in zip(*splits))
+
+    n_pad = _round_up(n, 128)
+    pad = n_pad - n
+
+    locs_t = jnp.pad(rpn_locs, ((0, 0), (0, pad), (0, 0))).transpose(2, 0, 1)
+    anchors_t = jnp.pad(anchors.astype(jnp.float32),
+                        ((0, pad), (0, 0)), constant_values=1.0).T
+    scores_p = jnp.pad(rpn_fg_scores, ((0, 0), (0, pad)),
+                       constant_values=NEG)
+
+    kernel = functools.partial(
+        _batched_kernel, n_post=n_post_nms, iou_threshold=nms_iou,
+        min_size=min_size, img_h=float(img_size[0]), img_w=float(img_size[1]))
+
+    k_pad = _round_up(n_post_nms, 128)
+    boxes_t, scores_o, valid_o = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((4, bsz, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, k_pad), jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 3,
+        interpret=interpret,
+    )(locs_t.astype(jnp.float32), scores_p.astype(jnp.float32), anchors_t)
+
+    rois = boxes_t[:, :, :n_post_nms].transpose(1, 2, 0)
+    return (rois, scores_o[:, :n_post_nms],
+            valid_o[:, :n_post_nms].astype(bool))
+
+
 @functools.partial(jax.jit, static_argnames=(
     "img_size", "nms_iou", "n_post_nms", "min_size", "interpret"))
 def fused_proposals(rpn_locs: jnp.ndarray, rpn_fg_scores: jnp.ndarray,
