@@ -9,7 +9,7 @@ HarDNet-39 Faster R-CNN at 600x600.  Other BASELINE configs are selectable
 with ``BENCH_CONFIG`` (comma-separable):
 
   batched16 (default) | single1 | resnet50 | rpn8 | train16 | trainloop16
-  | pipeline | all
+  | pipeline | serve | all
 
 ``train16`` times the FULL optimisation step (fwd+bwd+optax apply with the
 recipe's 32-step gradient accumulation) on device-resident batches;
@@ -324,8 +324,37 @@ def bench_trainloop(batch=16, steps=24):
             "includes": "host decode(+augment)+device_put+full train step"}
 
 
+def bench_serve(batches=(1, 2, 4, 8, 16)):
+    """Serving latency/throughput curve: steady-state ms/batch per bucket.
+
+    The bucket set mirrors :class:`serving.Predictor`'s AOT-compiled batch
+    buckets; each point is the in-jit scan steady state (what a saturated
+    serving bucket achieves — per-dispatch wall time on this tunneled
+    runtime would mostly measure the ~30 ms host roundtrip)."""
+    from two_stage_object_detection_tpu.config import Config
+    cfg = Config()
+    model, variables = _model_and_vars(cfg)
+
+    def step(variables, images, carry):
+        out = model.apply(variables, images + carry, method="predict")
+        return jnp.sum(out[1])
+
+    curve = {}
+    for b in batches:
+        images = jax.random.uniform(jax.random.PRNGKey(1),
+                                    (b, *cfg.input_size, 3), jnp.float32)
+        dt = scan_time(step, variables, images)
+        curve[str(b)] = {"ms_per_batch": round(dt * 1e3, 2),
+                         "images_per_sec": round(b / dt, 2)}
+        log(f"serve b={b}: {dt * 1e3:.2f} ms/batch -> {b / dt:.1f} img/s")
+    best = max(curve.values(), key=lambda v: v["images_per_sec"])
+    return {"images_per_sec": best["images_per_sec"],
+            "batch_curve": curve,
+            "latency_ms_b1": curve["1"]["ms_per_batch"]}
+
+
 VALID_CONFIGS = ("batched16", "single1", "resnet50", "rpn8", "train16",
-                 "trainloop16", "pipeline", "all")
+                 "trainloop16", "pipeline", "serve", "all")
 
 
 def merge_details(results):
@@ -371,6 +400,8 @@ def main():
         results["pipeline"] = bench_pipeline()
     if "trainloop16" in sel:
         results["trainloop16"] = bench_trainloop()
+    if "serve" in sel:
+        results["serve"] = bench_serve()
 
     if results:
         merge_details(results)

@@ -1,0 +1,87 @@
+"""Serving surface: AOT bucketed Predictor, mesh serving, StableHLO export."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.test_detector import tiny_config
+from two_stage_object_detection_tpu.nets.trainer import (
+    create_train_state, predict_step)
+from two_stage_object_detection_tpu.serving import (
+    Predictor, export_stablehlo, load_exported)
+
+
+@pytest.fixture(scope="module")
+def served():
+    cfg = tiny_config()
+    _, state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                  init_image_size=(32, 32))
+    return cfg, state
+
+
+def _images(rng, n, cfg):
+    h, w = cfg.input_size
+    return rng.rand(n, h, w, 3).astype(np.float32)
+
+
+def test_predictor_matches_predict_step(served, rng):
+    cfg, state = served
+    pred = Predictor(cfg, state.params, state.batch_stats, batch_sizes=(2,))
+    imgs = _images(rng, 2, cfg)
+    out = pred(imgs)
+    want = jax.device_get(predict_step(state, jnp.asarray(imgs)))
+    for got, ref in zip((out[k] for k in ("boxes", "scores", "labels",
+                                          "valid")), want):
+        np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_predictor_pads_and_chunks(served, rng):
+    cfg, state = served
+    pred = Predictor(cfg, state.params, state.batch_stats, batch_sizes=(1, 4))
+    # n=3 -> one padded 4-bucket; n=6 -> 4 + padded-to-4; n=1 -> 1-bucket
+    for n in (3, 6, 1):
+        imgs = _images(rng, n, cfg)
+        out = pred(imgs)
+        assert out["boxes"].shape == (n, cfg.max_detections, 4)
+        want = jax.device_get(predict_step(state, jnp.asarray(imgs)))
+        np.testing.assert_allclose(out["boxes"], np.asarray(want[0]),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(out["valid"], np.asarray(want[3]))
+
+
+def test_predictor_rejects_wrong_shape(served, rng):
+    cfg, state = served
+    pred = Predictor(cfg, state.params, state.batch_stats, batch_sizes=(1,))
+    with pytest.raises(ValueError, match="static"):
+        pred(rng.rand(1, 32, 32, 3).astype(np.float32))
+
+
+def test_mesh_predictor_matches_single_device(served, rng):
+    from two_stage_object_detection_tpu.parallel.mesh import make_mesh
+    cfg, state = served
+    mesh = make_mesh(n_data=8, n_model=1)
+    sharded = Predictor(cfg, state.params, state.batch_stats,
+                        batch_sizes=(8,), mesh=mesh)
+    plain = Predictor(cfg, state.params, state.batch_stats, batch_sizes=(8,))
+    imgs = _images(rng, 8, cfg)
+    a, b = sharded(imgs), plain(imgs)
+    np.testing.assert_allclose(a["boxes"], b["boxes"], rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(a["valid"], b["valid"])
+
+
+def test_export_roundtrip(served, rng, tmp_path):
+    cfg, state = served
+    path = os.path.join(tmp_path, "frcnn.stablehlo")
+    nbytes = export_stablehlo(cfg, state.params, state.batch_stats, path,
+                              batch_size=2)
+    assert nbytes == os.path.getsize(path) > 0
+    fn = load_exported(path)
+    imgs = _images(rng, 2, cfg)
+    got = fn(jnp.asarray(imgs))
+    want = jax.device_get(predict_step(state, jnp.asarray(imgs)))
+    for g, wnt in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(wnt),
+                                   rtol=1e-5, atol=1e-5)

@@ -1,0 +1,195 @@
+"""Serving: ahead-of-time compiled inference, batch bucketing, export.
+
+The reference has no serving story at all — its only "inference" script
+drives the *training* graph and requires ground-truth boxes as inputs
+(``multi_inference.py:78``).  This module packages this framework's true
+predict path (``nets/detector.py`` ``FasterRCNN.predict``) for production:
+
+* **AOT compilation at fixed batch buckets** (:class:`Predictor`): every
+  serving shape is compiled before the first request, so no request ever
+  pays the multi-second XLA compile.  Requests are padded up to the
+  smallest bucket (static shapes are the TPU contract) and results are
+  truncated back.
+* **Data-parallel serving** over a ``jax.sharding.Mesh``: pass ``mesh=``
+  and each bucket is compiled with the batch sharded over the ``data``
+  axis — batch-parallel inference over ICI with no code change.
+* **Portable StableHLO export** (:func:`export_stablehlo` /
+  :func:`load_exported`, built on ``jax.export``): a single serialized
+  artifact with the weights embedded, loadable by any JAX process (or an
+  XLA runtime) without this package's model code.
+
+Weights come from training checkpoints (:func:`Predictor.from_checkpoint`
+reads the ``FasterRCNNTrainer_{best,last}`` Orbax trees that
+``utils/checkpoint.py`` writes, keeping the reference's naming contract,
+``train/train.py:60-72``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from two_stage_object_detection_tpu.config import Config
+from two_stage_object_detection_tpu.nets.detector import FasterRCNN
+
+FIELDS = ("boxes", "scores", "labels", "valid")
+
+
+def _predict_fn(cfg: Config):
+    model = FasterRCNN(cfg)
+
+    def fn(params, batch_stats, images):
+        return model.apply({"params": params, "batch_stats": batch_stats},
+                           images, method="predict")
+
+    return fn
+
+
+class Predictor:
+    """AOT-compiled detector for serving.
+
+    Args:
+      cfg: model config (``input_size`` fixes the served image shape).
+      params / batch_stats: trained variables (host or device trees).
+      batch_sizes: bucket sizes to pre-compile, ascending.  A request of
+        ``n`` images runs on the smallest bucket ``>= n`` (padded), or is
+        chunked by the largest bucket first.
+      mesh: optional ``jax.sharding.Mesh`` with a ``"data"`` axis; buckets
+        whose size divides over it are compiled batch-sharded.
+      dtype: input dtype delivered to the model (images are cast).
+    """
+
+    def __init__(self, cfg: Config, params, batch_stats,
+                 batch_sizes: Sequence[int] = (1, 4, 16),
+                 mesh=None, dtype=jnp.float32):
+        self.cfg = cfg
+        self.batch_sizes = tuple(sorted(set(int(b) for b in batch_sizes)))
+        if not self.batch_sizes:
+            raise ValueError("need at least one batch size")
+        self.mesh = mesh
+        self.dtype = dtype
+        h, w = cfg.input_size
+        self._fn = _predict_fn(cfg)
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(mesh, P())
+            self._params = jax.device_put(params, rep)
+            self._stats = jax.device_put(batch_stats, rep)
+        else:
+            self._params = jax.device_put(params)
+            self._stats = jax.device_put(batch_stats)
+
+        p_spec = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), self._params)
+        s_spec = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), self._stats)
+
+        self._compiled: Dict[int, jax.stages.Compiled] = {}
+        self._shardings = {}
+        for b in self.batch_sizes:
+            img_spec = jax.ShapeDtypeStruct((b, h, w, 3), dtype)
+            jitted = jax.jit(self._fn)
+            if mesh is not None and b % mesh.shape.get("data", 1) == 0:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                sh = NamedSharding(mesh, P("data"))
+                jitted = jax.jit(self._fn, in_shardings=(
+                    jax.tree.map(lambda _: NamedSharding(mesh, P()), p_spec),
+                    jax.tree.map(lambda _: NamedSharding(mesh, P()), s_spec),
+                    sh))
+                self._shardings[b] = sh
+            self._compiled[b] = jitted.lower(p_spec, s_spec, img_spec).compile()
+
+    # ------------------------------------------------------------- factory
+    @classmethod
+    def from_checkpoint(cls, weights_dir: str, cfg: Config, name: str = None,
+                        **kw) -> "Predictor":
+        """Load ``FasterRCNNTrainer_{best,last}`` weights for serving."""
+        from two_stage_object_detection_tpu.nets.trainer import (
+            create_train_state)
+        from two_stage_object_detection_tpu.utils import checkpoint as ckpt
+        _, state = create_train_state(cfg, jax.random.PRNGKey(0))
+        restored = ckpt.restore_checkpoint(
+            weights_dir, state, name=name or ckpt.BEST, params_only=True)
+        if restored is None:
+            raise FileNotFoundError(
+                f"no checkpoint {name or ckpt.BEST!r} under {weights_dir!r}")
+        return cls(cfg, restored.params, restored.batch_stats, **kw)
+
+    # ------------------------------------------------------------ dispatch
+    def _run_bucket(self, b: int, images: jnp.ndarray):
+        if b in self._shardings:
+            images = jax.device_put(images, self._shardings[b])
+        return self._compiled[b](self._params, self._stats, images)
+
+    def __call__(self, images: np.ndarray) -> Dict[str, np.ndarray]:
+        """Detect on ``[N, H, W, 3]`` images (any ``N >= 1``).
+
+        Returns a dict of host arrays: ``boxes [N, D, 4]``,
+        ``scores [N, D]``, ``labels [N, D]`` (1-based classes),
+        ``valid [N, D]`` — ``D = cfg.max_detections``.
+        """
+        images = np.asarray(images)
+        if images.ndim == 3:
+            images = images[None]
+        n = images.shape[0]
+        h, w = self.cfg.input_size
+        if images.shape[1:] != (h, w, 3):
+            raise ValueError(
+                f"expected [N, {h}, {w}, 3] images, got {images.shape}; "
+                "serving shapes are static — resize/letterbox on ingest")
+
+        outs = []
+        i = 0
+        big = self.batch_sizes[-1]
+        while i < n:
+            left = n - i
+            bucket = next((b for b in self.batch_sizes if b >= left), big)
+            take = min(left, bucket)
+            chunk = images[i:i + take].astype(np.float32)
+            if take < bucket:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((bucket - take, h, w, 3), np.float32)])
+            res = self._run_bucket(bucket, jnp.asarray(chunk, self.dtype))
+            outs.append(tuple(np.asarray(r)[:take] for r in res))
+            i += take
+        cat = tuple(np.concatenate(parts) for parts in zip(*outs))
+        return dict(zip(FIELDS, cat))
+
+
+# ------------------------------------------------------------------ export
+def export_stablehlo(cfg: Config, params, batch_stats, path: str,
+                     batch_size: int = 1, portable: bool = True) -> int:
+    """Serialize the predict path (weights embedded) to ``path``.
+
+    ``portable=True`` compiles the pure-XLA proposal path (``pallas="off"``)
+    so the artifact carries no TPU custom calls and runs on any JAX
+    platform; ``False`` keeps the config's kernel choice (TPU-only
+    artifact).  Returns the serialized byte count.
+    """
+    if portable:
+        cfg = dataclasses.replace(cfg, pallas="off", pallas_roi=False)
+    fn = _predict_fn(cfg)
+    h, w = cfg.input_size
+    params = jax.device_get(params)
+    batch_stats = jax.device_get(batch_stats)
+    closed = functools.partial(fn, params, batch_stats)
+    exp = jax.export.export(jax.jit(closed))(
+        jax.ShapeDtypeStruct((batch_size, h, w, 3), jnp.float32))
+    data = exp.serialize()
+    with open(path, "wb") as f:
+        f.write(data)
+    return len(data)
+
+
+def load_exported(path: str):
+    """Load a :func:`export_stablehlo` artifact -> callable
+    ``images [B,H,W,3] -> (boxes, scores, labels, valid)``."""
+    with open(path, "rb") as f:
+        exp = jax.export.deserialize(bytearray(f.read()))
+    return exp.call
