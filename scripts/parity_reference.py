@@ -43,6 +43,13 @@ LR = 1e-3
 # sampler can fill, and <= the post-filter candidate pool so its arange pad
 # stays in bounds)
 POST_NMS = 200
+# Anchor sizes matched to the dataset, passed through BOTH frameworks' own
+# constructor parameters (reference FasterRCNNTrainer(anchor_scales=...),
+# frcnn_training.py:193; our Config.anchor_scales): the default [8,16,32]
+# at base 8 means 64-256 px anchors — sized for 600x600 COCO, hopeless for
+# 16-64 px objects on these 128x128 fixtures (only the one forced-positive
+# anchor per GT ever matches, so RPN regression barely trains on either side).
+ANCHOR_SCALES = (2, 4, 8)
 
 
 # --------------------------------------------------------------------- shim
@@ -109,6 +116,7 @@ def install_torchvision_stub():
         def forward(self, feats, rois):
             # rois: [K, 5] (batch_idx, x1, y1, x2, y2)
             import torch
+            import torch.nn.functional as F
             n, c, h, w = feats.shape
             p = self.p
             out = torch.zeros(rois.shape[0], c, p, p)
@@ -117,6 +125,13 @@ def install_torchvision_stub():
                 b = int(rois[k, 0])
                 x1, y1, x2, y2 = r[k].tolist()
                 sx, sy = max(x2 - x1, 1), max(y2 - y1, 1)
+                # Fast path: a fully in-bounds window pooled with floor/ceil
+                # bin edges is exactly adaptive max pooling on the crop
+                # (verified bit-identical vs the per-bin loop below).
+                if 0 <= y1 and y1 + sy <= h and 0 <= x1 and x1 + sx <= w:
+                    out[k] = F.adaptive_max_pool2d(
+                        feats[b:b + 1, :, y1:y1 + sy, x1:x1 + sx], p)[0]
+                    continue
                 for py in range(p):
                     ys = min(max(py * sy // p + y1, 0), h)
                     ye = min(max(-((py + 1) * sy // -p) + y1, 0), h)
@@ -177,17 +192,13 @@ def load_samples(root, split="train2017"):
 
 
 # -------------------------------------------------------------- torch side
-def run_torch_reference(samples, steps):
-    """Train the reference FasterRCNNTrainer (corrected driver: batch 1,
-    uniform img_size contract respected by construction) and return
-    (trainer, per-image predictions, seconds/step)."""
-    import numpy as np
-    import torch
-    torch.manual_seed(SEED)
+def build_torch_model():
+    """Reference FasterRCNNTrainer with the two driver-level corrections."""
     sys.path.insert(0, SHIM)
     from nets.frcnn_training import FasterRCNNTrainer
 
-    model = FasterRCNNTrainer(mode="train", num_classes=NUM_CLASSES)
+    model = FasterRCNNTrainer(mode="train", num_classes=NUM_CLASSES,
+                              anchor_scales=list(ANCHOR_SCALES))
 
     # CORRECTION (latent reference crash): ProposalCreator pads NMS survivors
     # with ``arange(n_post - len(keep))`` *row indices* (rpn.py:65-69); when
@@ -208,25 +219,11 @@ def run_torch_reference(samples, steps):
     def fixed_head(x, rois, roi_indices, img_size):
         return orig_head_fwd(x, rois, roi_indices, (SIZE, SIZE))
     model.head.forward = fixed_head
+    return model
 
-    model.train()
-    opt = torch.optim.AdamW(model.parameters(), lr=LR, weight_decay=1e-4)
 
-    t0 = time.time()
-    for step in range(steps):
-        img, boxes, labels = samples[step % len(samples)]
-        x = torch.from_numpy(img).permute(2, 0, 1)[None]
-        b = torch.from_numpy(boxes)[None]
-        l = torch.from_numpy(labels)[None]
-        losses = model(x, b, l)[0]
-        total = losses[-1]
-        opt.zero_grad()
-        total.backward()
-        opt.step()
-        if step % 50 == 0:
-            print(f"  torch step {step}: loss {float(total):.4f}", flush=True)
-    sec = (time.time() - t0) / steps
-
+def collect_torch_preds(model, samples):
+    import torch
     model.eval()
     preds = []
     with torch.inference_mode():
@@ -239,13 +236,63 @@ def run_torch_reference(samples, steps):
             pl = out[2][0].numpy()                      # [128] (bg=0 offset)
             ps = out[3][0].numpy()
             preds.append((pb, ps, pl))
-    return model, preds, sec
+    model.train()
+    return preds
+
+
+def run_torch_reference(samples, gts, steps):
+    """Train the corrected reference driver (batch 1) and return
+    (trainer, per-image predictions, seconds/step)."""
+    import torch
+    torch.manual_seed(SEED)
+    model = build_torch_model()
+    if os.environ.get("PARITY_RESUME") and os.path.exists("/tmp/parity_torch.pth"):
+        # continue a previous run's weights (optimizer moments restart —
+        # a small perturbation, noted in the PARITY.json steps count)
+        model.load_state_dict(torch.load(
+            "/tmp/parity_torch.pth", map_location="cpu")["model_state_dict"])
+        print("  (resumed /tmp/parity_torch.pth)", flush=True)
+
+    model.train()
+    opt = torch.optim.AdamW(model.parameters(), lr=LR, weight_decay=1e-4)
+
+    eval_every = int(os.environ.get("PARITY_EVAL_EVERY", 250))
+    t_train = 0.0
+    for step in range(steps):
+        img, boxes, labels = samples[step % len(samples)]
+        x = torch.from_numpy(img).permute(2, 0, 1)[None]
+        b = torch.from_numpy(boxes)[None]
+        l = torch.from_numpy(labels)[None]
+        t0 = time.time()
+        losses = model(x, b, l)[0]
+        total = losses[-1]
+        opt.zero_grad()
+        total.backward()
+        opt.step()
+        t_train += time.time() - t0
+        if step % 50 == 0:
+            print(f"  torch step {step}: loss {float(total):.4f}", flush=True)
+        if (step + 1) % eval_every == 0:
+            m = eval_map(collect_torch_preds(model, samples), gts, NUM_CLASSES)
+            torch.save({"model_state_dict": model.state_dict()},
+                       "/tmp/parity_torch.pth")
+            print(f"  torch step {step + 1}: train-set mAP@0.5 = {m:.4f} "
+                  f"(ckpt saved)", flush=True)
+    sec = t_train / steps
+
+    return model, collect_torch_preds(model, samples), sec
 
 
 # ---------------------------------------------------------------- jax side
 def run_jax(root, steps):
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    # PARITY_JAX_PLATFORM=tpu runs this framework's side on the real chip
+    # (the torch side has no TPU path, so CPU-vs-TPU is recipe-fair: same
+    # data, same steps, same hyperparameters — only the clock differs).
+    if os.environ.get("PARITY_JAX_PLATFORM", "cpu") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import numpy as np
     from two_stage_object_detection_tpu.config import Config
     from two_stage_object_detection_tpu.train import train
@@ -255,6 +302,7 @@ def run_jax(root, steps):
                  num_epochs=max(steps // NUM_IMAGES, 1), lr=LR,
                  train_ratio=1.0, eval_ratio=1.0, num_workers=2,
                  compute_dtype="float32",
+                 anchor_scales=ANCHOR_SCALES,
                  n_train_pre_nms=min(12000, (SIZE // 16 + 2) ** 2 * 9),
                  n_train_post_nms=POST_NMS, n_test_post_nms=POST_NMS,
                  score_thresh=0.05)
@@ -284,16 +332,23 @@ def main():
     samples = load_samples(root)
     gts = [(b, l + 1) for _, b, l in samples]   # bg=0 label convention
 
-    print(f"== torch reference (corrected driver), {STEPS} steps, "
-          f"{SIZE}x{SIZE} ==", flush=True)
-    tmodel, tpreds, tsec = run_torch_reference(samples, STEPS)
+    import torch
+    ckpt_path = "/tmp/parity_torch.pth"
+    if os.environ.get("PARITY_SKIP_TORCH"):
+        # reuse the checkpoint from a previous torch run (resume knob)
+        print(f"== torch reference: loading {ckpt_path} ==", flush=True)
+        tmodel = build_torch_model()
+        tmodel.load_state_dict(
+            torch.load(ckpt_path, map_location="cpu")["model_state_dict"])
+        tpreds, tsec = collect_torch_preds(tmodel, samples), float("nan")
+    else:
+        print(f"== torch reference (corrected driver), {STEPS} steps, "
+              f"{SIZE}x{SIZE} ==", flush=True)
+        tmodel, tpreds, tsec = run_torch_reference(samples, gts, STEPS)
+        torch.save({"model_state_dict": tmodel.state_dict()}, ckpt_path)
     t_map = eval_map(tpreds, gts, NUM_CLASSES)
     print(f"torch reference: mAP@0.5 = {t_map:.4f}  ({tsec:.2f} s/step)",
           flush=True)
-
-    import torch
-    ckpt_path = "/tmp/parity_torch.pth"
-    torch.save({"model_state_dict": tmodel.state_dict()}, ckpt_path)
 
     print(f"== this framework, same recipe ==", flush=True)
     cfg, state, jsec = run_jax(root, STEPS)

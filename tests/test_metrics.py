@@ -105,3 +105,55 @@ def test_map_multiple_images():
     assert m["TP"] == 1 and m["FP"] == 1 and m["FN"] == 1
     # precision at recall .5 is 1 (highest-scoring pred is the TP)
     assert 0.4 < res["mAP"] <= 0.5 + 1e-6
+
+
+# ----------------------------------------------------------- COCO summary
+def _one(boxes, scores, labels):
+    import numpy as np
+    return (np.asarray(boxes, np.float32), np.asarray(scores, np.float32),
+            np.asarray(labels, np.int64))
+
+
+def _gt(boxes, labels):
+    import numpy as np
+    return (np.asarray(boxes, np.float32), np.asarray(labels, np.int64))
+
+
+def test_coco_summary_perfect():
+    import numpy as np
+    from two_stage_object_detection_tpu.eval.metrics import compute_coco_summary
+    preds = [_one([[10, 10, 50, 50]], [0.9], [1])]
+    gts = [_gt([[10, 10, 50, 50]], [1])]
+    s = compute_coco_summary(preds, gts, num_classes=1)
+    assert s["AP"] == 1.0 and s["AP50"] == 1.0 and s["AP75"] == 1.0
+    assert s["AR1"] == 1.0 and s["AR100"] == 1.0
+    # 40x40 = 1600 px^2 -> medium bin only
+    assert s["APmedium"] == 1.0 and s["APsmall"] == 0.0 and s["APlarge"] == 0.0
+
+
+def test_coco_summary_area_bins_and_ignore():
+    import numpy as np
+    from two_stage_object_detection_tpu.eval.metrics import compute_coco_summary
+    # small GT (16x16=256), large GT (100x100); only the large is detected
+    preds = [_one([[0, 0, 100, 100]], [0.9], [1])]
+    gts = [_gt([[0, 0, 16, 16], [0, 0, 100, 100]], [1, 1])]
+    s = compute_coco_summary(preds, gts, num_classes=1)
+    assert s["APlarge"] == 1.0
+    assert s["APsmall"] == 0.0
+    # in the small bin the large GT is IGNORED: the detection matches it and
+    # is dropped, so it must not count as a small-bin false positive
+    # (it would drag APsmall's precision but APsmall is 0 only for recall)
+    assert s["ARsmall"] == 0.0 and s["ARlarge"] == 1.0
+    # overall: 1 of 2 GTs found
+    assert 0.4 < s["AR100"] <= 0.5
+
+
+def test_coco_summary_maxdets():
+    import numpy as np
+    from two_stage_object_detection_tpu.eval.metrics import compute_coco_summary
+    # two GTs, two good detections; AR1 can only recall one
+    preds = [_one([[0, 0, 50, 50], [60, 60, 100, 100]], [0.9, 0.8], [1, 1])]
+    gts = [_gt([[0, 0, 50, 50], [60, 60, 100, 100]], [1, 1])]
+    s = compute_coco_summary(preds, gts, num_classes=1, max_dets=(1, 10, 100))
+    assert s["AR1"] == 0.5
+    assert s["AR10"] == 1.0 and s["AR100"] == 1.0

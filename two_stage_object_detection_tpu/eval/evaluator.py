@@ -126,7 +126,7 @@ def evaluate(state: TrainState, loader: Iterable, cfg: Config,
 
 def evaluate_sweep(state: TrainState, loader_fn, cfg: Config,
                    thresholds: Sequence[float] = tuple(np.arange(0.5, 1.0, 0.05)),
-                   **kw) -> Dict[str, float]:
+                   coco_summary: bool = False, **kw) -> Dict[str, float]:
     """mAP@{.5, .95, .5:.95} sweep (reference ``train/train.py:97-117``).
 
     Forward-once: the device pass runs a single time and the matching is
@@ -134,6 +134,9 @@ def evaluate_sweep(state: TrainState, loader_fn, cfg: Config,
     eval set per threshold — 10 device passes for the same predictions).
 
     ``loader_fn``: zero-arg callable returning a fresh eval iterator.
+    ``coco_summary``: additionally attach the COCO-style axes (area-binned
+    AP, AR@maxDets — :func:`..metrics.compute_coco_summary`) under
+    ``"coco"``, computed from the same cached predictions.
     """
     preds, gts, eval_loss = collect_predictions(state, loader_fn(), cfg, **kw)
     total, m50, m95 = 0.0, 0.0, 0.0
@@ -146,5 +149,10 @@ def evaluate_sweep(state: TrainState, loader_fn, cfg: Config,
         if abs(t - 0.95) < 1e-6:
             m95 = m
     n = len(tuple(thresholds))
-    return {"mAP50": m50, "mAP95": m95, "mAP50_95": total / n,
-            "eval_loss": eval_loss}
+    out = {"mAP50": m50, "mAP95": m95, "mAP50_95": total / n,
+           "eval_loss": eval_loss}
+    if coco_summary:
+        from two_stage_object_detection_tpu.eval.metrics import (
+            compute_coco_summary)
+        out["coco"] = compute_coco_summary(preds, gts, cfg.num_classes)
+    return out

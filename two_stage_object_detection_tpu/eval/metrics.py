@@ -150,3 +150,131 @@ def compute_map(
 
     return {"mAP": float(np.mean(aps)) if aps else 0.0,
             "class_metrics": class_metrics}
+
+
+# --------------------------------------------------------------- COCO-style
+_AREA_RANGES = {
+    "all": (0.0, float("inf")),
+    "small": (0.0, 32.0 ** 2),
+    "medium": (32.0 ** 2, 96.0 ** 2),
+    "large": (96.0 ** 2, float("inf")),
+}
+
+
+def _match_class_coco(preds, gts, cls, iou_t, area_rng, max_dets):
+    """COCO-semantics matching for one class across all images.
+
+    GT boxes outside ``area_rng`` are *ignored*: they can absorb a matching
+    prediction (which is then dropped from scoring) but never count toward
+    ``n_gt`` or FP.  Detections are capped at ``max_dets`` per image by
+    score.  Returns ``(scores, tp_flags, n_gt)`` over scored detections.
+    """
+    lo, hi = area_rng
+    all_scores, all_tp = [], []
+    n_gt = 0
+    for (p_boxes, p_scores, p_labels), (g_boxes, g_labels) in zip(preds, gts):
+        pm = p_labels == cls
+        gm = g_labels == cls
+        pb, ps = p_boxes[pm], p_scores[pm]
+        gb = g_boxes[gm]
+        g_area = ((gb[:, 2] - gb[:, 0]) * (gb[:, 3] - gb[:, 1])
+                  if len(gb) else np.zeros(0))
+        g_ign = (g_area < lo) | (g_area >= hi)
+        n_gt += int((~g_ign).sum())
+
+        order = np.argsort(-ps, kind="stable")[:max_dets]
+        pb, ps = pb[order], ps[order]
+        if len(pb) == 0:
+            continue
+        iou = _iou_matrix(pb, gb)
+        matched = np.zeros(len(gb), bool)
+        tp_flags = np.zeros(len(pb), bool)
+        keep = np.ones(len(pb), bool)
+        for k in range(len(pb)):
+            best_j, best_iou, best_ign = -1, iou_t, True
+            for j in range(len(gb)):
+                if matched[j] or iou[k, j] < best_iou:
+                    continue
+                # prefer any non-ignored GT over a (possibly higher-IoU)
+                # ignored one (pycocotools matching rule)
+                if best_j >= 0 and not best_ign and g_ign[j]:
+                    continue
+                best_j, best_iou, best_ign = j, iou[k, j], bool(g_ign[j])
+            if best_j >= 0:
+                matched[best_j] = True
+                if best_ign:
+                    keep[k] = False        # matched an ignored GT: drop
+                else:
+                    tp_flags[k] = True
+        all_scores.append(ps[keep])
+        all_tp.append(tp_flags[keep])
+    scores = np.concatenate(all_scores) if all_scores else np.zeros(0)
+    tps = np.concatenate(all_tp) if all_tp else np.zeros(0, bool)
+    return scores, tps, n_gt
+
+
+def compute_coco_summary(
+    predictions: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray]],
+    ground_truths: Sequence[Tuple[np.ndarray, np.ndarray]],
+    num_classes: int,
+    iou_thresholds: Sequence[float] = tuple(np.arange(0.5, 1.0, 0.05)),
+    max_dets: Sequence[int] = (1, 10, 100),
+) -> Dict[str, float]:
+    """COCO-style summary: AP/AP50/AP75, area-binned AP, AR@maxDets.
+
+    Beyond the reference's surface (it reports mAP@{.5,.95,.5:.95} only,
+    ``train/train.py:97-117``): standard COCO axes — area bins
+    small/medium/large (32^2 / 96^2 px) with proper *ignore* semantics, and
+    average recall at detection budgets.  AP integration uses this
+    framework's recall-level table (:func:`filter_pr`/:func:`compute_ap`),
+    not pycocotools' 101-point grid, so absolute values differ slightly
+    from pycocotools on the same inputs; comparisons within this framework
+    are consistent.
+    """
+    md = max(max_dets)
+    ap_acc = {name: [] for name in _AREA_RANGES}    # over (iou, class)
+    ap50, ap75 = [], []
+    ar_acc = {f"AR{m}": [] for m in max_dets}
+    ar_area = {name: [] for name in ("small", "medium", "large")}
+
+    for c in range(1, num_classes + 1):
+        for name, rng in _AREA_RANGES.items():
+            per_iou_recall = []
+            for t in iou_thresholds:
+                scores, tps, n_gt = _match_class_coco(
+                    predictions, ground_truths, c, float(t), rng, md)
+                if n_gt == 0:
+                    continue
+                ap = _ap_from_matches(scores, tps, n_gt)
+                ap_acc[name].append(ap)
+                per_iou_recall.append(tps.sum() / n_gt)
+                if name == "all":
+                    if abs(t - 0.5) < 1e-6:
+                        ap50.append(ap)
+                    if abs(t - 0.75) < 1e-6:
+                        ap75.append(ap)
+            if name != "all" and per_iou_recall:
+                ar_area[name].append(float(np.mean(per_iou_recall)))
+        for m in max_dets:
+            per_iou = []
+            for t in iou_thresholds:
+                _, tps, n_gt = _match_class_coco(
+                    predictions, ground_truths, c, float(t),
+                    _AREA_RANGES["all"], m)
+                if n_gt:
+                    per_iou.append(tps.sum() / n_gt)
+            if per_iou:
+                ar_acc[f"AR{m}"].append(float(np.mean(per_iou)))
+
+    def mean(xs):
+        return float(np.mean(xs)) if xs else 0.0
+
+    out = {"AP": mean(ap_acc["all"]), "AP50": mean(ap50), "AP75": mean(ap75),
+           "APsmall": mean(ap_acc["small"]), "APmedium": mean(ap_acc["medium"]),
+           "APlarge": mean(ap_acc["large"]),
+           "ARsmall": mean(ar_area["small"]),
+           "ARmedium": mean(ar_area["medium"]),
+           "ARlarge": mean(ar_area["large"])}
+    for m in max_dets:
+        out[f"AR{m}"] = mean(ar_acc[f"AR{m}"])
+    return out
