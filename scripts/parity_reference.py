@@ -32,8 +32,17 @@ sys.path.insert(0, REPO)
 REFERENCE = "/root/reference"
 SHIM = "/tmp/refshim"
 
-STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 300
-SIZE = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+def _argv_int(i: int, default: int) -> int:
+    """Positional int arg, tolerant of foreign argv (e.g. pytest importing
+    this module for its shim/model builders)."""
+    try:
+        return int(sys.argv[i])
+    except (IndexError, ValueError):
+        return default
+
+
+STEPS = _argv_int(1, 300)
+SIZE = _argv_int(2, 128)
 SEED = 0
 NUM_IMAGES = 8
 NUM_CLASSES = 3
@@ -255,6 +264,13 @@ def run_torch_reference(samples, gts, steps):
 
     model.train()
     opt = torch.optim.AdamW(model.parameters(), lr=LR, weight_decay=1e-4)
+    # the reference recipe steps CosineAnnealingLR once per epoch
+    # (train/train.py:55-58,133).  Its T_max=5 assumes real-dataset epochs;
+    # with 8-image epochs that cycles the LR every 80 steps and stalls BOTH
+    # frameworks (measured) — so both sides here decay over the whole run
+    # (T_max = total epochs; run_jax sets cosine_t_max identically).
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(
+        opt, T_max=max(steps // len(samples), 1))
 
     eval_every = int(os.environ.get("PARITY_EVAL_EVERY", 250))
     t_train = 0.0
@@ -269,6 +285,8 @@ def run_torch_reference(samples, gts, steps):
         opt.zero_grad()
         total.backward()
         opt.step()
+        if (step + 1) % len(samples) == 0:
+            sched.step()                      # epoch boundary
         t_train += time.time() - t0
         if step % 50 == 0:
             print(f"  torch step {step}: loss {float(total):.4f}", flush=True)
@@ -300,8 +318,12 @@ def run_jax(root, steps):
     cfg = Config(input_size=(SIZE, SIZE), num_classes=NUM_CLASSES,
                  batch_size=1, max_gt_boxes=8, grad_accum_steps=1,
                  num_epochs=max(steps // NUM_IMAGES, 1), lr=LR,
+                 cosine_t_max=max(steps // NUM_IMAGES, 1),
                  train_ratio=1.0, eval_ratio=1.0, num_workers=2,
                  compute_dtype="float32",
+                 # the torch driver above feeds raw (un-augmented) samples;
+                 # disable our augmentation chain so the recipes match
+                 augment=False,
                  anchor_scales=ANCHOR_SCALES,
                  n_train_pre_nms=min(12000, (SIZE // 16 + 2) ** 2 * 9),
                  n_train_post_nms=POST_NMS, n_test_post_nms=POST_NMS,
@@ -371,9 +393,9 @@ def main():
     print(f"this framework (trainer-parity eval): mAP@0.5 = {j_map:.4f}  "
           f"({jsec:.2f} s/step)", flush=True)
 
-    # same-weights parity: torch-trained weights through OUR eval path
+    # same-weights parity A: torch-trained weights through OUR eval path
     from two_stage_object_detection_tpu.utils.torch_import import (
-        load_torch_checkpoint)
+        export_state_dict, load_torch_checkpoint)
     state_imp = load_torch_checkpoint(ckpt_path, state, arch=39)
     preds_imp, _, _ = collect_predictions(state_imp, iter(loader), cfg)
     imp_map = compute_map(preds_imp, gts_j, NUM_CLASSES,
@@ -381,12 +403,28 @@ def main():
     print(f"torch weights imported -> our eval: mAP@0.5 = {imp_map:.4f}",
           flush=True)
 
+    # same-weights parity B (reverse): OUR trained weights through the
+    # corrected REFERENCE graph's eval — the strong direction, since this
+    # framework trains to useful quality in tractable time and the torch
+    # side then only has to run eval
+    sd = export_state_dict(jax.device_get(state.params),
+                           jax.device_get(state.batch_stats), arch=39)
+    rmodel = build_torch_model()
+    res = rmodel.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=False)
+    assert not res.unexpected_keys, res.unexpected_keys
+    rev_map = eval_map(collect_torch_preds(rmodel, samples), gts, NUM_CLASSES)
+    print(f"our weights exported -> torch reference eval: mAP@0.5 = "
+          f"{rev_map:.4f}  (ours on same split: {j_map:.4f})", flush=True)
+
     result = {"size": SIZE, "steps": STEPS,
               "torch_reference_map50": round(float(t_map), 4),
               "torch_sec_per_step": round(tsec, 3),
               "this_framework_map50": round(float(j_map), 4),
               "jax_sec_per_step": round(jsec, 3),
-              "imported_weights_map50": round(float(imp_map), 4)}
+              "imported_weights_map50": round(float(imp_map), 4),
+              "our_weights_in_torch_map50": round(float(rev_map), 4)}
     with open(os.path.join(REPO, "PARITY.json"), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))

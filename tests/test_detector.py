@@ -81,6 +81,7 @@ def test_train_step_runs_and_learns(setup, rng):
     assert int(state.step) == 4
 
 
+@pytest.mark.slow
 def test_train_step_updates_params_after_accum(setup, rng):
     cfg, model, state = setup
     batch = tiny_batch(cfg, rng)

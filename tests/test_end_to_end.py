@@ -41,6 +41,7 @@ def pipeline(_pipeline_once):
     return cfg, loader, model, state
 
 
+@pytest.mark.slow
 def test_train_loop_on_synthetic(pipeline):
     cfg, loader, model, state = pipeline
     losses = []

@@ -1,3 +1,4 @@
+import pytest
 import jax
 import numpy as np
 
@@ -35,6 +36,7 @@ def test_evaluate_smoke():
     assert 0.0 <= m2 <= 1.0
 
 
+@pytest.mark.slow
 def test_sweep_forward_once_matches_per_threshold_eval():
     """The forward-once sweep must equal independent evaluate() calls."""
     cfg = tiny_config()

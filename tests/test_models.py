@@ -33,7 +33,10 @@ def test_hardblock_forward_channels():
     assert blk.out_channels == 72
 
 
-@pytest.mark.parametrize("size", [(64, 64), (96, 64)])
+@pytest.mark.parametrize("size", [
+    (64, 64),
+    pytest.param((96, 64), marks=pytest.mark.slow),
+])
 def test_hardnet39_stride16_512ch(size):
     model = HarDNetFeatureExtraction(arch=39)
     x = jnp.zeros((1, *size, 3))

@@ -1,5 +1,6 @@
 """Pallas RoI pool kernel vs jnp reference (interpret mode) + gradient."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -31,6 +32,7 @@ def test_pallas_roi_empty_bins(rng):
     np.testing.assert_allclose(got, 0.0)
 
 
+@pytest.mark.slow
 def test_pallas_roi_gradient_matches_jnp(rng):
     feat = rng.randn(11, 11, 4).astype(np.float32)
     rois = _rand_rois(rng, 4, size=150.0)

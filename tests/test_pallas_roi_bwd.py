@@ -1,5 +1,6 @@
 """Pallas RoI-pool backward kernel vs XLA autodiff (interpret mode)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -53,6 +54,7 @@ def test_backward_empty_bins_zero_grad(rng):
     np.testing.assert_allclose(g, 0.0)
 
 
+@pytest.mark.slow
 def test_backward_batched(rng):
     feats = rng.randn(2, 13, 13, 4).astype(np.float32)
     rois = np.stack([_rand(rng, n_rois=4, size=150.0)[1] for _ in range(2)])

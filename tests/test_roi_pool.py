@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -98,6 +99,7 @@ def test_roi_pool_structured_matches_forward_and_grad(rng):
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_roi_pool_structured_grad_vmap(rng):
     """Batched (vmapped) structured grads match per-image XLA grads."""
     feats = jnp.array(rng.randn(2, 19, 19, 4).astype(np.float32))

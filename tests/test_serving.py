@@ -38,6 +38,7 @@ def test_predictor_matches_predict_step(served, rng):
         np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_predictor_pads_and_chunks(served, rng):
     cfg, state = served
     pred = Predictor(cfg, state.params, state.batch_stats, batch_sizes=(1, 4))
@@ -59,6 +60,7 @@ def test_predictor_rejects_wrong_shape(served, rng):
         pred(rng.rand(1, 32, 32, 3).astype(np.float32))
 
 
+@pytest.mark.slow
 def test_mesh_predictor_matches_single_device(served, rng):
     from two_stage_object_detection_tpu.parallel.mesh import make_mesh
     cfg, state = served

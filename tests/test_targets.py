@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -117,6 +118,7 @@ def test_proposal_target_adds_gt_to_pool():
     np.testing.assert_allclose(np.asarray(s_roi)[0], [0, 0, 10, 10])
 
 
+@pytest.mark.slow
 def test_proposal_target_vmap():
     gt = jnp.zeros((2, 3, 4)).at[:, 0].set(jnp.array([0.0, 0.0, 10.0, 10.0]))
     gt_valid = jnp.zeros((2, 3), bool).at[:, 0].set(True)

@@ -150,3 +150,63 @@ def test_load_torch_checkpoint_roundtrip(tmp_path):
     b0 = np.asarray(
         new_state.params["extractor"]["block0"]["layer0"]["layer1"]["conv"]["kernel"])
     assert b0.ndim == 4
+
+
+def test_export_import_roundtrip():
+    """flax -> torch state dict -> flax must be the identity."""
+    from tests.test_detector import tiny_config
+    from two_stage_object_detection_tpu.nets.trainer import create_train_state
+    from two_stage_object_detection_tpu.utils.torch_import import (
+        export_state_dict)
+
+    cfg = tiny_config()
+    _, state = create_train_state(cfg, jax.random.PRNGKey(3),
+                                  init_image_size=(32, 32))
+    params = jax.device_get(state.params)
+    stats = jax.device_get(state.batch_stats)
+    sd = export_state_dict(params, stats, arch=39)
+    back_p, back_s = convert_state_dict(sd, arch=39)
+
+    flat_a = jax.tree_util.tree_leaves_with_path(dict(params))
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back_p))
+
+    def cmp(tree_ref, tree_new, where):
+        la = jax.tree_util.tree_leaves_with_path(tree_ref)
+        lb = dict(jax.tree_util.tree_leaves_with_path(tree_new))
+        assert set(lb) == set(p for p, _ in la), where
+        for p, v in la:
+            np.testing.assert_array_equal(np.asarray(v), lb[p],
+                                          err_msg=f"{where}{p}")
+
+    cmp(dict(params), back_p, "params")
+    cmp(dict(stats), back_s, "stats")
+
+
+def test_export_loads_into_reference_trainer():
+    """The exported dict must load into the actual reference model
+    (strict up to BN num_batches_tracked counters)."""
+    if not os.path.isdir(REFERENCE):
+        pytest.skip("reference checkout not available")
+    from tests.test_detector import tiny_config
+    from two_stage_object_detection_tpu.nets.trainer import create_train_state
+    from two_stage_object_detection_tpu.utils.torch_import import (
+        export_state_dict)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, "/root/repo/scripts")
+    import parity_reference as P
+    P.build_shim()
+    P.install_torchvision_stub()
+    sys.path.insert(0, P.SHIM)
+    from nets.frcnn_training import FasterRCNNTrainer
+
+    cfg = tiny_config()
+    _, state = create_train_state(cfg, jax.random.PRNGKey(4),
+                                  init_image_size=(32, 32))
+    sd = export_state_dict(jax.device_get(state.params),
+                           jax.device_get(state.batch_stats), arch=39)
+    model = FasterRCNNTrainer(mode="train", num_classes=cfg.num_classes)
+    res = model.load_state_dict(
+        {k: torch.from_numpy(v) for k, v in sd.items()}, strict=False)
+    assert not res.unexpected_keys, res.unexpected_keys
+    assert all(k.endswith("num_batches_tracked") for k in res.missing_keys), \
+        res.missing_keys

@@ -107,6 +107,10 @@ class Config:
     # run the training augmentation chain on device (host does only the C++
     # decode+resize) — lifts the host input ceiling ~4x on few-core hosts
     device_augment: bool = False
+    # disable the training augmentation chain entirely (overfit/parity
+    # experiments; the reference's train transform is hard-wired,
+    # dataset/transform.py:4-12)
+    augment: bool = True
 
     # TPU execution
     compute_dtype: str = "bfloat16"   # conv/matmul compute dtype; params stay f32

@@ -46,7 +46,8 @@ def build_loaders(cfg: Config, data_root: str = "data", device_put=None):
         os.path.join(data_root, "annotations", "instances_val2017.json"),
         os.path.join(data_root, "val2017"), ratio=cfg.eval_ratio)
     train_ds = DetectionDataset(train_idx, cfg.input_size, cfg.max_gt_boxes,
-                                train=True, decode_only=cfg.device_augment)
+                                train=cfg.augment,
+                                decode_only=cfg.device_augment)
     eval_ds = DetectionDataset(eval_idx, cfg.input_size, cfg.max_gt_boxes,
                                train=False, decode_only=cfg.device_augment)
     # device_put in the producer thread overlaps host->device transfer of
@@ -119,8 +120,9 @@ def train(visualization: bool = True, cfg: Optional[Config] = None,
                     desc=f"Epoch {epoch + 1}/{cfg.num_epochs}", colour="green")
         for batch in loop:
             rng, step_rng = jax.random.split(rng)
-            state, losses = train_step(state, batch, step_rng,
-                                       device_augment=cfg.device_augment)
+            state, losses = train_step(
+                state, batch, step_rng,
+                device_augment=cfg.device_augment and cfg.augment)
             train_loss.append(float(losses["total"]))
 
         if epoch % eval_period == 0:

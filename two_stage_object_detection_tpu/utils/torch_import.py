@@ -183,6 +183,91 @@ def _merge_check(target, new, path=""):
     return out
 
 
+# ------------------------------------------------------------------ export
+def _conv_weight(k: np.ndarray) -> np.ndarray:
+    """flax kernel [kh, kw, I/g, O] -> torch Conv2d weight [O, I/g, kh, kw]."""
+    return np.ascontiguousarray(np.transpose(np.asarray(k), (3, 2, 0, 1)))
+
+
+def _dense_weight(k: np.ndarray) -> np.ndarray:
+    """flax Dense kernel [I, O] -> torch Linear weight [O, I]."""
+    return np.ascontiguousarray(np.transpose(np.asarray(k), (1, 0)))
+
+
+def _np(x) -> np.ndarray:
+    return np.asarray(x, np.float32)
+
+
+def _export_convlayer(out, prefix, p, s):
+    out[f"{prefix}.conv.weight"] = _conv_weight(p["conv"]["kernel"])
+    out[f"{prefix}.norm.weight"] = _np(p["norm"]["scale"])
+    out[f"{prefix}.norm.bias"] = _np(p["norm"]["bias"])
+    out[f"{prefix}.norm.running_mean"] = _np(s["norm"]["mean"])
+    out[f"{prefix}.norm.running_var"] = _np(s["norm"]["var"])
+
+
+def _export_dwconvlayer(out, prefix, p, s):
+    out[f"{prefix}.dwconv.weight"] = _conv_weight(p["dwconv"]["kernel"])
+    out[f"{prefix}.norm.weight"] = _np(p["norm"]["scale"])
+    out[f"{prefix}.norm.bias"] = _np(p["norm"]["bias"])
+    out[f"{prefix}.norm.running_mean"] = _np(s["norm"]["mean"])
+    out[f"{prefix}.norm.running_var"] = _np(s["norm"]["var"])
+
+
+def export_state_dict(params, batch_stats, arch: int = 39,
+                      depth_wise: bool = True) -> Dict[str, np.ndarray]:
+    """This framework's ``FasterRCNN`` variables -> reference state dict.
+
+    Inverse of :func:`convert_state_dict` (flax -> torch layout transposes,
+    same ``base`` ModuleList index walk), producing the trainer-level key
+    naming (``feat_extra.base...``, ``rpn...``, ``head...``) the reference's
+    ``load_state_dict`` expects (``nets/frcnn_training.py:203-217``).  BN
+    ``num_batches_tracked`` counters are not emitted (load with
+    ``strict=False``; they do not affect eval).  Values are numpy float32 —
+    wrap with ``torch.from_numpy`` at the call site.
+    """
+    ex_p = params["extractor"]
+    ex_s = batch_stats["extractor"]
+    entries, n_layers = _extractor_layout(arch, depth_wise)
+    out: Dict[str, np.ndarray] = {}
+    block_i = 0
+    for name, kind, idx in entries:
+        t = f"feat_extra.base.{idx}"
+        if kind == "convlayer":
+            _export_convlayer(out, t, ex_p[name], ex_s[name])
+        elif kind == "dwconvlayer":
+            _export_dwconvlayer(out, t, ex_p[name], ex_s[name])
+        elif kind == "conv2d":
+            out[f"{t}.weight"] = _conv_weight(ex_p[name]["kernel"])
+            out[f"{t}.bias"] = _np(ex_p[name]["bias"])
+        elif kind == "block":
+            for li in range(n_layers[block_i]):
+                lp = f"{t}.layers.{li}"
+                bp = ex_p[name][f"layer{li}"]
+                bs = ex_s[name][f"layer{li}"]
+                if depth_wise:
+                    _export_convlayer(out, f"{lp}.layer1",
+                                      bp["layer1"], bs["layer1"])
+                    _export_dwconvlayer(out, f"{lp}.layer2",
+                                        bp["layer2"], bs["layer2"])
+                else:
+                    _export_convlayer(out, lp, bp, bs)
+            block_i += 1
+    if "rpn_head" in params:
+        rp = params["rpn_head"]
+        out["rpn.loc.weight"] = _conv_weight(rp["loc"]["kernel"])
+        out["rpn.loc.bias"] = _np(rp["loc"]["bias"])
+        out["rpn.score.weight"] = _conv_weight(rp["score"]["kernel"])
+        out["rpn.score.bias"] = _np(rp["score"]["bias"])
+    if "roi_head" in params:
+        rh = params["roi_head"]
+        out["head.cls_loc.weight"] = _dense_weight(rh["cls_loc"]["kernel"])
+        out["head.cls_loc.bias"] = _np(rh["cls_loc"]["bias"])
+        out["head.score.weight"] = _dense_weight(rh["score"]["kernel"])
+        out["head.score.bias"] = _np(rh["score"]["bias"])
+    return out
+
+
 def load_torch_checkpoint(path: str, state, arch: int = 39,
                           depth_wise: bool = True):
     """Load a reference ``.pth`` (or raw state dict file) into a TrainState.
