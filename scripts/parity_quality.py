@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""Same-weights quality parity: train HERE (minutes on TPU), eval THERE.
+
+The scratch same-recipe experiment (``parity_reference.py``) shows both
+frameworks crawl identically on a cold batch-1 recipe — informative for
+training-dynamics parity, useless for "matched mAP at speed".  This script
+produces the decisive check at *useful* quality:
+
+1. train this framework with the known-good overfit recipe
+   (``scripts/overfit_check.py``: 320x320, 4 synthetic images, default
+   anchors) to high mAP — minutes on the TPU;
+2. evaluate its trainer-graph predictions with the corrected metric;
+3. export the weights into the *corrected torch reference*
+   (``utils/torch_import.export_state_dict`` — inverse layout transposes
+   onto ``nets/frcnn_training.py:203-217``'s module tree);
+4. evaluate the reference's trainer-graph predictions on the same images
+   with the same metric and identical post-processing (bg drop +
+   per-class NMS, ``frcnn_training.py:450-456``).
+
+Agreement at high mAP means the throughput benchmarks measure a model that
+is functionally the reference — the "at matched VOC-style mAP" clause of
+the north star.  Writes PARITY_QUALITY.json.
+
+Usage: ``python scripts/parity_quality.py [steps]`` (default 400).
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+import parity_reference as P  # noqa: E402  (shim + stubs + eval helpers)
+
+STEPS = P._argv_int(1, 400)
+SIZE = 320
+NUM_CLASSES = 3
+POST_NMS = 200      # torch ProposalCreator pad-safety (see parity_reference)
+
+
+def main():
+    import numpy as np
+    P.build_shim()
+    P.install_torchvision_stub()
+
+    from two_stage_object_detection_tpu.data.synthetic import (
+        generate_synthetic_coco)
+    root = "/tmp/parity_q_data"
+    generate_synthetic_coco(root, num_images=4, num_classes=NUM_CLASSES,
+                            image_size=(SIZE, SIZE), seed=3)
+    samples = P.load_samples(root)
+    gts = [(b, l + 1) for _, b, l in samples]
+
+    # ---- 1. train this framework (overfit_check recipe) -----------------
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from two_stage_object_detection_tpu.config import Config
+    from two_stage_object_detection_tpu.data.coco import load_coco
+    from two_stage_object_detection_tpu.data.pipeline import (
+        DetectionDataset, Loader)
+    from two_stage_object_detection_tpu.eval.evaluator import evaluate
+    from two_stage_object_detection_tpu.nets.trainer import (
+        create_train_state, train_step)
+
+    # roi_n_sample=128 matches the reference head's hard-coded 128 rois
+    # (classify.py:38) so both trainer-graph evals score the same number of
+    # sampled rois per image
+    cfg = Config(
+        input_size=(SIZE, SIZE), num_classes=NUM_CLASSES, batch_size=4,
+        max_gt_boxes=8, n_train_pre_nms=2000, n_train_post_nms=256,
+        n_test_pre_nms=1000, n_test_post_nms=128, roi_n_sample=128,
+        grad_accum_steps=1, lr=1e-3, cosine_t_max=STEPS,
+    )
+    ann = os.path.join(root, "annotations", "instances_train2017.json")
+    index = load_coco(ann, os.path.join(root, "train2017"))
+    ds = DetectionDataset(index, cfg.input_size, cfg.max_gt_boxes,
+                          train=False)
+    loader = Loader(ds, cfg.batch_size, shuffle=False, num_workers=2)
+    batch = {k: jax.device_put(v) for k, v in next(iter(loader)).items()}
+    loader.close()
+
+    _, state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                  init_image_size=(64, 64))
+    t0 = time.time()
+    for i in range(STEPS):
+        state, losses = train_step(state, batch, jax.random.PRNGKey(i))
+    total = float(jax.device_get(losses["total"]))
+    sec = (time.time() - t0) / STEPS
+    print(f"trained {STEPS} steps on {jax.default_backend()} "
+          f"({sec * 1e3:.0f} ms/step incl dispatch), final loss {total:.4f}",
+          flush=True)
+
+    # ---- 2. our eval (trainer-graph predictions, corrected metric) ------
+    _, ours_map, _ = evaluate(state, [batch], cfg, map_iou_threshold=0.5,
+                              use_predict=False)
+    _, ours_pred_map, _ = evaluate(state, [batch], cfg,
+                                   map_iou_threshold=0.5, use_predict=True)
+    print(f"ours: trainer-graph mAP@0.5 = {ours_map:.4f}  "
+          f"(true-inference path: {ours_pred_map:.4f})", flush=True)
+
+    # ---- 3. export weights into the corrected reference -----------------
+    import torch
+    from two_stage_object_detection_tpu.utils.torch_import import (
+        export_state_dict)
+    sd = export_state_dict(jax.device_get(state.params),
+                           jax.device_get(state.batch_stats), arch=39)
+    torch.save({"model_state_dict": {k: torch.from_numpy(
+        np.ascontiguousarray(v)) for k, v in sd.items()}},
+        "/tmp/parity_q_sd.pth")
+    rmodel = P.build_torch_model(num_classes=NUM_CLASSES,
+                                 anchor_scales=(8, 16, 32),
+                                 post_nms=POST_NMS, size=SIZE)
+    # protocol alignment: the reference's mode="train" ProposalCreator uses
+    # its *train* counts even under model.eval(); set them to our eval
+    # counts (pre 1000 -> post 128) so both graphs rank/sample from the
+    # same-sized proposal pool
+    rmodel.rpn.proposal_layer.n_train_pre_nms = cfg.n_test_pre_nms
+    rmodel.rpn.proposal_layer.n_train_post_nms = cfg.n_test_post_nms
+    res = rmodel.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=False)
+    assert not res.unexpected_keys, res.unexpected_keys
+    assert all(k.endswith("num_batches_tracked") for k in res.missing_keys), \
+        res.missing_keys
+
+    # ---- 4. reference eval on the same images, same post-processing -----
+    t0 = time.time()
+    torch_preds = P.collect_torch_preds(rmodel, samples)
+    torch_map = P.eval_map(torch_preds, gts, NUM_CLASSES)
+    print(f"torch reference (same weights): mAP@0.5 = {torch_map:.4f}  "
+          f"({(time.time() - t0) / len(samples):.2f} s/img eval)", flush=True)
+
+    # ---- 5. op-level agreement on identical inputs ----------------------
+    # backbone features, RPN head maps, and RoI-head outputs on a FIXED roi
+    # set must match across frameworks; any remaining mAP delta is then
+    # attributable to each graph's roi-*sampling* policy alone (the
+    # reference trainer decodes every sampled roi with its GT-assigned
+    # class — near-object rois labelled background decode to high-scoring
+    # stray boxes, and its first-k truncation sampling, SURVEY quirk #6,
+    # keeps more of them than our permutation sampling).
+    # f32 compute on the CPU backend: the op check isolates graph/layout
+    # correctness from accumulation-dtype effects (TPU bf16 compute — the
+    # deployment dtype — departs pointwise through 30 ReLU6 layers while
+    # preserving mAP; that is a dtype property, not a transfer defect)
+    import dataclasses
+    from two_stage_object_detection_tpu.nets.detector import FasterRCNN
+    img0 = samples[0][0]
+    xt = torch.from_numpy(img0).permute(2, 0, 1)[None]
+    xj = np.asarray(img0)[None]
+    model = FasterRCNN(dataclasses.replace(cfg, compute_dtype="float32"))
+    vars_ = {"params": jax.device_get(state.params),
+             "batch_stats": jax.device_get(state.batch_stats)}
+    rmodel.eval()    # collect_torch_preds leaves the model in train mode;
+    # eval mode is required so BN uses the exported running stats
+    with torch.inference_mode():
+        ft = rmodel.feat_extra(xt).numpy()
+    n0 = samples[0][1].shape[0]
+    rois_fixed = torch.from_numpy(samples[0][1]).repeat(
+        128 // n0 + 1, 1)[:128]     # the reference head hard-codes 128 rois
+    with torch.inference_mode():
+        clt, sct = rmodel.head(torch.from_numpy(ft), rois_fixed[None],
+                               torch.zeros(1, dtype=torch.int32),
+                               (SIZE, SIZE))
+    with jax.default_device(jax.devices("cpu")[0]):
+        fj = np.asarray(model.apply(vars_, xj, False,
+                        method=lambda m, x, t: m.extractor(x, train=t)))
+        clj, scj = model.apply(vars_, fj,
+                               np.asarray(rois_fixed.numpy())[None],
+                               method=lambda m, f, r: m.roi_head(
+                                   f, r, (SIZE, SIZE)))
+    d_bb = float(np.abs(ft - np.transpose(fj, (0, 3, 1, 2))).max())
+    d_head = float(max(np.abs(clt.numpy() - np.asarray(clj)).max(),
+                       np.abs(sct.numpy() - np.asarray(scj)).max()))
+    print(f"op-level agreement: backbone maxdiff {d_bb:.2e}, "
+          f"roi-head maxdiff {d_head:.2e}", flush=True)
+
+    result = {"size": SIZE, "steps": STEPS,
+              "ours_map50": round(float(ours_map), 4),
+              "ours_true_inference_map50": round(float(ours_pred_map), 4),
+              "torch_same_weights_map50": round(float(torch_map), 4),
+              "backbone_maxdiff": d_bb, "roi_head_maxdiff": d_head,
+              "final_loss": round(total, 4)}
+    with open(os.path.join(REPO, "PARITY_QUALITY.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

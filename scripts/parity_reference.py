@@ -201,13 +201,18 @@ def load_samples(root, split="train2017"):
 
 
 # -------------------------------------------------------------- torch side
-def build_torch_model():
+def build_torch_model(num_classes=None, anchor_scales=None, post_nms=None,
+                      size=None):
     """Reference FasterRCNNTrainer with the two driver-level corrections."""
     sys.path.insert(0, SHIM)
     from nets.frcnn_training import FasterRCNNTrainer
 
-    model = FasterRCNNTrainer(mode="train", num_classes=NUM_CLASSES,
-                              anchor_scales=list(ANCHOR_SCALES))
+    num_classes = NUM_CLASSES if num_classes is None else num_classes
+    anchor_scales = ANCHOR_SCALES if anchor_scales is None else anchor_scales
+    post_nms = POST_NMS if post_nms is None else post_nms
+    size = SIZE if size is None else size
+    model = FasterRCNNTrainer(mode="train", num_classes=num_classes,
+                              anchor_scales=list(anchor_scales))
 
     # CORRECTION (latent reference crash): ProposalCreator pads NMS survivors
     # with ``arange(n_post - len(keep))`` *row indices* (rpn.py:65-69); when
@@ -217,8 +222,8 @@ def build_torch_model():
     # POST_NMS proposals so the pad indices stay in range (and the reference's
     # hard-coded 128-roi head, classify.py:38, can still fill its samples).
     pl = model.rpn.proposal_layer
-    pl.n_train_post_nms = POST_NMS
-    pl.n_test_post_nms = POST_NMS
+    pl.n_train_post_nms = post_nms
+    pl.n_test_post_nms = post_nms
 
     # CORRECTION (SURVEY quirk #2): the trainer passes img_size=(3,H,W) into
     # the head, whose y-scaling reads img_size[0] -> y coords divided by 3.
@@ -226,7 +231,7 @@ def build_torch_model():
     orig_head_fwd = model.head.forward
 
     def fixed_head(x, rois, roi_indices, img_size):
-        return orig_head_fwd(x, rois, roi_indices, (SIZE, SIZE))
+        return orig_head_fwd(x, rois, roi_indices, (size, size))
     model.head.forward = fixed_head
     return model
 
@@ -336,13 +341,24 @@ def run_jax(root, steps):
     return cfg, state, sec
 
 
-def eval_map(preds, gts, num_classes, prob_thresh=0.0):
-    """Shared metric: this framework's corrected mAP@0.5 for both sides."""
+def eval_map(preds, gts, num_classes, prob_thresh=0.0, nms_iou=0.7):
+    """Shared metric: this framework's corrected mAP@0.5 for both sides.
+
+    Drops background argmaxes then per-class NMS — exactly what the
+    reference's ``calculate_metrics`` does (``frcnn_training.py:450-456``)
+    and what our ``collect_predictions`` does, so both frameworks' raw
+    trainer-graph predictions get identical post-processing."""
+    from two_stage_object_detection_tpu.eval.evaluator import (
+        _per_class_nms_host)
     from two_stage_object_detection_tpu.eval.metrics import compute_map
     cooked = []
     for b, s, l in preds:
         keep = (l > 0) & (s > prob_thresh)
-        cooked.append((b[keep], s[keep], l[keep]))
+        b, s, l = b[keep], s[keep], l[keep]
+        if len(b) and nms_iou is not None:
+            k = _per_class_nms_host(b, s, l, num_classes, nms_iou)
+            b, s, l = b[k], s[k], l[k]
+        cooked.append((b, s, l))
     return compute_map(cooked, gts, num_classes, iou_threshold=0.5)["mAP"]
 
 
