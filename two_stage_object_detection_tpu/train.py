@@ -63,14 +63,22 @@ def build_loaders(cfg: Config, data_root: str = "data", device_put=None):
 
 def train(visualization: bool = True, cfg: Optional[Config] = None,
           data_root: str = "data", weights_dir: str = "weights",
-          pre_train: bool = False, eval_period: int = 10, seed: int = 42,
-          mesh="auto"):
+          pre_train: bool = False, resume: bool = False,
+          eval_period: int = 10, seed: int = 42, mesh="auto"):
     """Run the full training loop (reference ``train()`` signature kept).
 
     ``mesh``: ``"auto"`` builds a data-parallel mesh over every available
     device (SURVEY §2 "TPU-native equivalents to build": batch parallelism
     via jax.sharding; the mean-gradient psum is inserted by XLA).  Pass
     ``None`` to force single-device, or an explicit ``jax.sharding.Mesh``.
+
+    ``resume``: restore the FULL train state (params, batch stats,
+    optimiser moments, step counter) from the ``_last`` checkpoint and
+    continue from the next epoch — crash/preemption recovery.  The
+    reference *saves* optimizer+scheduler state in ``_last.pth``
+    (``train/train.py:136-143``) but has no code path that reloads it;
+    ``pre_train`` keeps its reference semantics (best-ckpt weights only,
+    fresh optimiser, ``train/train.py:60-72``).
     """
     cfg = cfg or load_config()
     set_seed(seed)
@@ -96,7 +104,21 @@ def train(visualization: bool = True, cfg: Optional[Config] = None,
         state = place_train_state(state, mesh)
     os.makedirs(weights_dir, exist_ok=True)
 
-    if pre_train:
+    start_epoch = 0
+    if resume:
+        restored = ckpt.restore_checkpoint(weights_dir, state, name=ckpt.LAST,
+                                           params_only=False)
+        if restored is not None:
+            state = restored
+            if mesh is not None:   # restored leaves are host arrays
+                state = place_train_state(state, mesh)
+            # TrainState.step counts micro-steps; continue at the epoch
+            # after the last completed one
+            start_epoch = min(int(state.step) // steps_per_epoch,
+                              cfg.num_epochs)
+            log.info("✅ Resumed full train state at step %d (epoch %d)",
+                     int(state.step), start_epoch)
+    elif pre_train:
         restored = ckpt.restore_checkpoint(weights_dir, state, name=ckpt.BEST,
                                            params_only=True)
         if restored is not None:
@@ -115,7 +137,7 @@ def train(visualization: bool = True, cfg: Optional[Config] = None,
     min_eval_loss = float("inf")   # global best (the reference resets this
     # every eval round, train/train.py:95,120 — quirk #9, fixed)
 
-    for epoch in range(cfg.num_epochs):
+    for epoch in range(start_epoch, cfg.num_epochs):
         loop = tqdm(train_loader, total=steps_per_epoch,
                     desc=f"Epoch {epoch + 1}/{cfg.num_epochs}", colour="green")
         for batch in loop:
@@ -137,6 +159,10 @@ def train(visualization: bool = True, cfg: Optional[Config] = None,
                 log.info("✅ Best model saved to %s", weights_dir)
             log.info("eval: mAP_50%%: %.4f, mAP_50%%_95%%: %.4f, mAP_95%%: %.4f",
                      sweep["mAP50"], sweep["mAP50_95"], sweep["mAP95"])
+            # periodic full-state save so ``resume=True`` can recover a
+            # crashed/preempted run (the reference writes _last only at
+            # the very end, train/train.py:136-143)
+            ckpt.save_checkpoint(weights_dir, state, name=ckpt.LAST)
 
     ckpt.save_checkpoint(weights_dir, state, name=ckpt.LAST)
     log.info("✅ Last model saved to %s", weights_dir)
