@@ -87,3 +87,20 @@ def test_export_roundtrip(served, rng, tmp_path):
     for g, wnt in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(wnt),
                                    rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_predictor_from_checkpoint(served, rng, tmp_path):
+    from two_stage_object_detection_tpu.utils import checkpoint as ckpt
+    cfg, state = served
+    path = str(tmp_path / "weights")
+    os.makedirs(path, exist_ok=True)
+    ckpt.save_checkpoint(path, state, name=ckpt.BEST)
+    pred = Predictor.from_checkpoint(path, cfg, batch_sizes=(2,))
+    imgs = _images(rng, 2, cfg)
+    out = pred(imgs)
+    want = jax.device_get(predict_step(state, jnp.asarray(imgs)))
+    np.testing.assert_allclose(out["boxes"], np.asarray(want[0]),
+                               rtol=1e-5, atol=1e-5)
+    with pytest.raises(FileNotFoundError):
+        Predictor.from_checkpoint(str(tmp_path / "nope"), cfg)
