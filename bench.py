@@ -396,10 +396,13 @@ def main():
         results["rpn8"] = bench_rpn()
     if "train16" in sel:
         results["train16"] = bench_train()
+    # BENCH_PIPELINE=device records the device-augment variants under their
+    # own keys so both modes coexist in BENCH_DETAILS
+    suffix = "_device" if os.environ.get("BENCH_PIPELINE") == "device" else ""
     if "pipeline" in sel:
-        results["pipeline"] = bench_pipeline()
+        results["pipeline" + suffix] = bench_pipeline()
     if "trainloop16" in sel:
-        results["trainloop16"] = bench_trainloop()
+        results["trainloop16" + suffix] = bench_trainloop()
     if "serve" in sel:
         results["serve"] = bench_serve()
 
