@@ -135,3 +135,36 @@ def test_train_through_mesh_matches_single_device(tmp_path_factory):
     close = np.isclose(a, b, rtol=2e-4, atol=1e-6)
     assert close.mean() > 0.85, f"only {close.mean():.4%} of params match"
     assert np.median(np.abs(a - b)) < 1e-7
+
+
+@pytest.mark.slow
+def test_eval_under_mesh_matches_single_device():
+    """evaluate() with mesh-sharded state + batches equals single-device.
+
+    The eval path has no explicit sharding code: jitted eval_step/predict
+    inherit GSPMD partitioning from the input shardings (state placed via
+    replicate, batch via shard_batch) — this pins that contract."""
+    from tests.test_detector import tiny_batch, tiny_config
+    from two_stage_object_detection_tpu.eval.evaluator import evaluate
+    from two_stage_object_detection_tpu.nets.trainer import create_train_state
+
+    cfg = tiny_config(batch_size=8, freeze_bn=True)
+    _, state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                  init_image_size=(32, 32))
+    rng = np.random.RandomState(3)
+    batch = {k: np.asarray(v) for k, v in tiny_batch(cfg, rng).items()}
+
+    loss_1, map_1, _ = evaluate(state, [batch], cfg, map_iou_threshold=0.5)
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    state_m = replicate(state, mesh)
+    batch_m = shard_batch(batch, mesh)
+    loss_8, map_8, _ = evaluate(state_m, [batch_m], cfg,
+                                map_iou_threshold=0.5)
+    np.testing.assert_allclose(loss_1, loss_8, rtol=1e-5)
+    assert map_1 == map_8
+
+    # true-predict path too
+    _, pmap_1, _ = evaluate(state, [batch], cfg, use_predict=True)
+    _, pmap_8, _ = evaluate(state_m, [batch_m], cfg, use_predict=True)
+    assert pmap_1 == pmap_8
