@@ -17,7 +17,7 @@ HarDNet-39, depth-wise variant -> stride-16, 512-channel feature map
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ import os
 from typing import Optional
 
 import jax
-import numpy as np
 
 from two_stage_object_detection_tpu.config import Config, load_config
 from two_stage_object_detection_tpu.data.coco import load_coco
