@@ -337,7 +337,7 @@ def bench_backbones(batch=16):
     for name in ("hardnet39", "hardnet68", "hardnet85", "resnet34",
                  "resnet50", "resnet101", "resnext50"):
         _, ch = build_backbone(name)
-        cfg = Config().replace(backbone=name, backbone_channels=ch)
+        cfg = Config().replace(backbone=name)
         d = bench_inference(f"backbone {name}", cfg, batch)
         out[name] = {"ms_per_batch": round(d["sec_per_batch"] * 1e3, 2),
                      "images_per_sec": d["images_per_sec"]}
@@ -415,8 +415,7 @@ def main():
         results["single1"] = bench_inference("single1", cfg, 1)
     if "resnet50" in sel:
         results["resnet50"] = bench_inference(
-            "resnet50 single", cfg.replace(backbone="resnet50",
-                                           backbone_channels=1024), 1)
+            "resnet50 single", cfg.replace(backbone="resnet50"), 1)
     if "rpn8" in sel:
         results["rpn8"] = bench_rpn()
     if "train16" in sel:

@@ -11,7 +11,7 @@ from two_stage_object_detection_tpu.nets.trainer import (
 
 @pytest.mark.slow
 def test_resnet50_detector_train_and_predict(rng):
-    cfg = tiny_config(backbone="resnet50", backbone_channels=1024)
+    cfg = tiny_config(backbone="resnet50")
     _, state = create_train_state(cfg, jax.random.PRNGKey(0),
                                   init_image_size=(32, 32))
     batch = tiny_batch(cfg, rng)
@@ -22,7 +22,7 @@ def test_resnet50_detector_train_and_predict(rng):
 
 
 def test_resnet34_detector_forward(rng):
-    cfg = tiny_config(backbone="resnet34", backbone_channels=256)
+    cfg = tiny_config(backbone="resnet34")
     _, state = create_train_state(cfg, jax.random.PRNGKey(0),
                                   init_image_size=(32, 32))
     images = jax.numpy.asarray(rng.rand(1, *cfg.input_size, 3), "float32")

@@ -87,7 +87,7 @@ class Config:
     predict_nms_iou: float = 0.1
     max_detections: int = 100
     backbone: str = "hardnet39"    # hardnet39|hardnet68|hardnet85|resnet34|resnet50|resnet101|resnext50
-    backbone_channels: int = 512   # channels of the shared feature map
+    backbone_channels: int = 512   # informational only (profiling scripts); model shapes are inferred
 
     # losses (reference nets/frcnn_training.py:198-199, train/train.py:86-92)
     rpn_sigma: float = 1.0
