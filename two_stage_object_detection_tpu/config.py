@@ -70,6 +70,13 @@ class Config:
     roi_pos_iou_thresh: float = 0.5
     roi_neg_iou_thresh_high: float = 0.5
     roi_neg_iou_thresh_low: float = 0.0
+    # loc-target normalization: the reference *accepts* these stds but the
+    # normalization itself is commented out (nets/frcnn_training.py:170), so
+    # the shipped behaviour is OFF.  loc_normalize=True enables the standard
+    # Faster R-CNN scheme: RoI regression targets divided by the stds during
+    # training, predictions multiplied back before decode (train and predict
+    # stay consistent automatically — both read this flag).
+    loc_normalize: bool = False
     loc_normalize_std: Tuple[float, float, float, float] = (0.1, 0.1, 0.2, 0.2)
 
     # head (reference nets/classify.py:17, nets/frcnn_training.py:213-217)

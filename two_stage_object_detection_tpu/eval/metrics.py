@@ -166,8 +166,12 @@ def _match_class_coco(preds, gts, cls, iou_t, area_rng, max_dets):
 
     GT boxes outside ``area_rng`` are *ignored*: they can absorb a matching
     prediction (which is then dropped from scoring) but never count toward
-    ``n_gt`` or FP.  Detections are capped at ``max_dets`` per image by
-    score.  Returns ``(scores, tp_flags, n_gt)`` over scored detections.
+    ``n_gt`` or FP.  Matching considers non-ignored GTs first, so an
+    above-threshold non-ignored match always beats a higher-IoU ignored one
+    (pycocotools gt ordering).  A detection left unmatched whose *own* area
+    is outside ``area_rng`` is also dropped rather than scored as FP
+    (pycocotools ``dtIg``).  Detections are capped at ``max_dets`` per image
+    by score.  Returns ``(scores, tp_flags, n_gt)`` over scored detections.
     """
     lo, hi = area_rng
     all_scores, all_tp = [], []
@@ -186,19 +190,22 @@ def _match_class_coco(preds, gts, cls, iou_t, area_rng, max_dets):
         pb, ps = pb[order], ps[order]
         if len(pb) == 0:
             continue
+        p_area = (pb[:, 2] - pb[:, 0]) * (pb[:, 3] - pb[:, 1])
+        p_out = (p_area < lo) | (p_area >= hi)
         iou = _iou_matrix(pb, gb)
         matched = np.zeros(len(gb), bool)
         tp_flags = np.zeros(len(pb), bool)
         keep = np.ones(len(pb), bool)
+        # non-ignored GTs first: an above-threshold non-ignored match must
+        # win over any ignored GT regardless of IoU
+        gt_order = list(np.flatnonzero(~g_ign)) + list(np.flatnonzero(g_ign))
         for k in range(len(pb)):
             best_j, best_iou, best_ign = -1, iou_t, True
-            for j in range(len(gb)):
+            for j in gt_order:
                 if matched[j] or iou[k, j] < best_iou:
                     continue
-                # prefer any non-ignored GT over a (possibly higher-IoU)
-                # ignored one (pycocotools matching rule)
                 if best_j >= 0 and not best_ign and g_ign[j]:
-                    continue
+                    break   # already matched non-ignored; ignored can't improve
                 best_j, best_iou, best_ign = j, iou[k, j], bool(g_ign[j])
             if best_j >= 0:
                 matched[best_j] = True
@@ -206,6 +213,8 @@ def _match_class_coco(preds, gts, cls, iou_t, area_rng, max_dets):
                     keep[k] = False        # matched an ignored GT: drop
                 else:
                     tp_flags[k] = True
+            elif p_out[k]:
+                keep[k] = False            # unmatched out-of-bin det: ignore
         all_scores.append(ps[keep])
         all_tp.append(tp_flags[keep])
     scores = np.concatenate(all_scores) if all_scores else np.zeros(0)

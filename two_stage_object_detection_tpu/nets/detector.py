@@ -173,7 +173,8 @@ class FasterRCNN(nn.Module):
             proposal_target, n_sample=cfg.roi_n_sample,
             pos_ratio=cfg.roi_pos_ratio, pos_iou_thresh=cfg.roi_pos_iou_thresh,
             neg_iou_thresh_high=cfg.roi_neg_iou_thresh_high,
-            neg_iou_thresh_low=cfg.roi_neg_iou_thresh_low)
+            neg_iou_thresh_low=cfg.roi_neg_iou_thresh_low,
+            loc_std=cfg.loc_normalize_std if cfg.loc_normalize else None)
         if pt_keys is None:
             sample_roi, gt_roi_loc, gt_roi_label, sample_valid = jax.vmap(pt_fn)(
                 rois, roi_valid, gt_boxes, gt_valid, gt_labels)
@@ -201,8 +202,12 @@ class FasterRCNN(nn.Module):
 
         total = rpn_loc_loss + rpn_cls_loss + roi_loc_loss + roi_cls_loss
 
-        # trainer-parity predictions
-        boxes_pred = loc2bbox(sample_roi, roi_loc)          # [B, S, 4]
+        # trainer-parity predictions (un-normalize before decode when the
+        # head was trained against normalized targets)
+        dec_loc = roi_loc
+        if cfg.loc_normalize:
+            dec_loc = dec_loc * jnp.asarray(cfg.loc_normalize_std, dec_loc.dtype)
+        boxes_pred = loc2bbox(sample_roi, dec_loc)          # [B, S, 4]
         probs = jax.nn.softmax(roi_scores, axis=-1)
         classes_score_pred = jnp.max(probs, axis=-1)
         classes_pred = jnp.argmax(probs, axis=-1)
@@ -241,6 +246,11 @@ class FasterRCNN(nn.Module):
 
         n_class = cfg.num_classes + 1
         r = rois.shape[1]
+        if cfg.loc_normalize:
+            # per-class strided layout [R, C*4]: tile the stds across classes
+            std = jnp.tile(jnp.asarray(cfg.loc_normalize_std,
+                                       roi_cls_locs.dtype), n_class)
+            roi_cls_locs = roi_cls_locs * std
         probs = jax.nn.softmax(roi_scores, axis=-1)         # [B, R, C]
         n_cand = min(4 * cfg.max_detections, r * (n_class - 1))
 

@@ -108,6 +108,7 @@ def proposal_target(rois: jnp.ndarray, roi_valid: jnp.ndarray,
                     pos_ratio: float = 0.5, pos_iou_thresh: float = 0.5,
                     neg_iou_thresh_high: float = 0.5,
                     neg_iou_thresh_low: float = 0.0,
+                    loc_std: Optional[Tuple[float, float, float, float]] = None,
                     key: Optional[jax.Array] = None):
     """RoI-head sample selection + targets for one image.
 
@@ -116,6 +117,10 @@ def proposal_target(rois: jnp.ndarray, roi_valid: jnp.ndarray,
       roi_valid: ``[R]`` proposal validity.
       gt_boxes: ``[G, 4]`` padded GT boxes; ``gt_valid``: ``[G]``.
       gt_labels: ``[G]`` class indices (0-based foreground classes).
+      loc_std: optional per-coordinate stds; when given, regression targets
+        are divided by them (the normalization the reference declares but
+        comments out, ``frcnn_training.py:170`` — opt-in via
+        ``Config.loc_normalize``).
 
     Returns:
       ``(sample_roi [S, 4], gt_roi_loc [S, 4], gt_roi_label [S],
@@ -155,6 +160,8 @@ def proposal_target(rois: jnp.ndarray, roi_valid: jnp.ndarray,
     sample_roi = pool[sel]
     sample_valid = (pos_keep | neg_keep)[sel]
     gt_roi_loc = bbox2loc(sample_roi, gt_boxes[gt_assignment[sel]])
+    if loc_std is not None:
+        gt_roi_loc = gt_roi_loc / jnp.asarray(loc_std, gt_roi_loc.dtype)
     # negatives (and padding) -> background label 0 (frcnn_training.py:175)
     gt_roi_label = jnp.where(pos_keep[sel], roi_label[sel], 0)
     gt_roi_label = jnp.where(sample_valid, gt_roi_label, 0)

@@ -114,9 +114,11 @@ def roi_pool_structured(features: jnp.ndarray, rois: jnp.ndarray,
     """:func:`roi_pool` with a hand-structured backward.
 
     Forward is identical.  The backward recomputes the two separable max
-    stages and assigns gradient credit with equality masks — the same
-    tie-sharing semantics as XLA's ``reduce_max`` VJP (verified bit-equal)
-    but expressed so XLA's reduce fusion never materialises the
+    stages and assigns gradient credit with equality masks, dividing each
+    stage's credit by its tie count — the same tie-sharing semantics as
+    XLA's ``reduce_max`` VJP of the same two-stage forward (ties within a
+    row/column split evenly; exercised by a constant-feature test) — but
+    expressed so XLA's reduce fusion never materialises the
     ``[R, P, H, W, C]`` broadcast its autodiff produces (measured 32 ms vs
     49 ms for the train-scale 16x128-roi pooling fwd+bwd, v5e).
     """
@@ -139,11 +141,18 @@ def _structured_bwd(output_size, spatial_scale, res, g):
     s2 = jnp.max(jnp.where(rm[:, :, None, :, None], s1[:, None], NEG_INF),
                  axis=3)                                          # [R,Ph,Pw,C]
     g = g.astype(jnp.float32)
-    # stage-2 credit (empty bins die at the stage-1 compare: f != NEG_INF)
-    eq2 = rm[:, :, None, :, None] & (s1[:, None] == s2[:, :, :, None, :])
-    ds1 = jnp.sum(eq2 * g[:, :, :, None, :], axis=1)              # [R,Pw,H,C]
-    eq1 = cm[:, :, None, :, None] & (f[None, None] == s1[:, :, :, None, :])
-    dfeat = jnp.sum(eq1 * ds1[:, :, :, None, :], axis=(0, 1))     # [H,W,C]
+    # stage-2 credit (empty bins die at the stage-1 compare: f != NEG_INF).
+    # Each stage divides its credit by the tie count so exact ties (constant
+    # regions, bf16 collisions) share the cotangent like reduce_max's VJP
+    # instead of each receiving the full value.
+    eq2 = (rm[:, :, None, :, None]
+           & (s1[:, None] == s2[:, :, :, None, :])).astype(jnp.float32)
+    n2 = jnp.maximum(jnp.sum(eq2, axis=3, keepdims=True), 1.0)    # [R,Ph,Pw,1,C]
+    ds1 = jnp.sum(eq2 / n2 * g[:, :, :, None, :], axis=1)         # [R,Pw,H,C]
+    eq1 = (cm[:, :, None, :, None]
+           & (f[None, None] == s1[:, :, :, None, :])).astype(jnp.float32)
+    n1 = jnp.maximum(jnp.sum(eq1, axis=3, keepdims=True), 1.0)    # [R,Pw,H,1,C]
+    dfeat = jnp.sum(eq1 / n1 * ds1[:, :, :, None, :], axis=(0, 1))  # [H,W,C]
     return dfeat.astype(f.dtype), None
 
 

@@ -9,6 +9,7 @@ XLA program and the input pipeline feeds fixed-shape device batches.
 
 from __future__ import annotations
 
+import json
 import logging
 import os
 from typing import Optional
@@ -104,6 +105,9 @@ def train(visualization: bool = True, cfg: Optional[Config] = None,
     os.makedirs(weights_dir, exist_ok=True)
 
     start_epoch = 0
+    min_eval_loss = float("inf")   # global best (the reference resets this
+    # every eval round, train/train.py:95,120 — quirk #9, fixed)
+    meta_path = os.path.join(weights_dir, "train_meta.json")
     if resume:
         restored = ckpt.restore_checkpoint(weights_dir, state, name=ckpt.LAST,
                                            params_only=False)
@@ -115,8 +119,15 @@ def train(visualization: bool = True, cfg: Optional[Config] = None,
             # after the last completed one
             start_epoch = min(int(state.step) // steps_per_epoch,
                               cfg.num_epochs)
-            log.info("✅ Resumed full train state at step %d (epoch %d)",
-                     int(state.step), start_epoch)
+            # restore the global-best eval loss so the first post-resume
+            # eval doesn't unconditionally overwrite the _best checkpoint
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    min_eval_loss = float(
+                        json.load(f).get("min_eval_loss", float("inf")))
+            log.info("✅ Resumed full train state at step %d (epoch %d, "
+                     "best eval loss %.4f)",
+                     int(state.step), start_epoch, min_eval_loss)
     elif pre_train:
         restored = ckpt.restore_checkpoint(weights_dir, state, name=ckpt.BEST,
                                            params_only=True)
@@ -133,18 +144,22 @@ def train(visualization: bool = True, cfg: Optional[Config] = None,
 
     train_loss, eval_loss = [], []
     mAP50_list, mAP50_95_list, mAP95_list = [], [], []
-    min_eval_loss = float("inf")   # global best (the reference resets this
-    # every eval round, train/train.py:95,120 — quirk #9, fixed)
 
     for epoch in range(start_epoch, cfg.num_epochs):
         loop = tqdm(train_loader, total=steps_per_epoch,
                     desc=f"Epoch {epoch + 1}/{cfg.num_epochs}", colour="green")
+        # losses stay device-side during the epoch: a per-step float()
+        # would force a blocking device->host roundtrip (~30 ms on a
+        # remote runtime, docs/DESIGN.md) inside the hot loop.  The
+        # scalars are fetched in one batch at epoch end for the plots.
+        pending = []
         for batch in loop:
             rng, step_rng = jax.random.split(rng)
             state, losses = train_step(
                 state, batch, step_rng,
                 device_augment=cfg.device_augment and cfg.augment)
-            train_loss.append(float(losses["total"]))
+            pending.append(losses["total"])
+        train_loss.extend(float(v) for v in jax.device_get(pending))
 
         if epoch % eval_period == 0:
             sweep = evaluate_sweep(state, lambda: iter(eval_loader), cfg)
@@ -160,8 +175,11 @@ def train(visualization: bool = True, cfg: Optional[Config] = None,
                      sweep["mAP50"], sweep["mAP50_95"], sweep["mAP95"])
             # periodic full-state save so ``resume=True`` can recover a
             # crashed/preempted run (the reference writes _last only at
-            # the very end, train/train.py:136-143)
+            # the very end, train/train.py:136-143); the sidecar carries
+            # the global-best eval loss across the restart
             ckpt.save_checkpoint(weights_dir, state, name=ckpt.LAST)
+            with open(meta_path, "w") as f:
+                json.dump({"min_eval_loss": min_eval_loss}, f)
 
     ckpt.save_checkpoint(weights_dir, state, name=ckpt.LAST)
     log.info("✅ Last model saved to %s", weights_dir)
