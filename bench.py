@@ -335,8 +335,8 @@ def bench_backbones(batch=16):
     from two_stage_object_detection_tpu.models.registry import build_backbone
 
     out = {}
-    for name in ("hardnet39", "hardnet68", "hardnet85", "resnet34",
-                 "resnet50", "resnet101", "resnext50"):
+    for name in ("hardnet39", "hardnet39s", "hardnet68", "hardnet85",
+                 "resnet34", "resnet50", "resnet101", "resnext50"):
         _, ch = build_backbone(name)
         cfg = Config().replace(backbone=name)
         d = bench_inference(f"backbone {name}", cfg, batch)
@@ -380,7 +380,7 @@ def bench_train_backbones(batch=16):
     "matching-or-beating" training story needs the ResNet rows — their
     dense convs fit the MXU far better than HarDNet's narrow layers)."""
     out = {}
-    for name in ("resnet34", "resnet50"):
+    for name in ("hardnet39s", "resnet34", "resnet50"):
         d = bench_train(batch, backbone=name)
         out[name] = {"ms_per_step": round(d["sec_per_batch"] * 1e3, 2),
                      "images_per_sec": d["images_per_sec"],

@@ -134,6 +134,15 @@ def main():
     print(f"torch reference (same weights): mAP@0.5 = {torch_map:.4f}  "
           f"({(time.time() - t0) / len(samples):.2f} s/img eval)", flush=True)
 
+    # ---- 4b. plateau control: argmax-class decode in the same graph -----
+    # (round-2 verdict weak #5: the ~0.6-0.7 plateau is attributed to the
+    # reference decoding every sampled roi with its GT-assigned class;
+    # the decisive experiment swaps ONLY that class-selection rule)
+    torch_map_argmax = P.eval_map(
+        P.collect_torch_preds_argmax(rmodel, samples), gts, NUM_CLASSES)
+    print(f"torch reference, argmax-class decode control: mAP@0.5 = "
+          f"{torch_map_argmax:.4f}", flush=True)
+
     # ---- 5. op-level agreement on identical inputs ----------------------
     # backbone features, RPN head maps, and RoI-head outputs on a FIXED roi
     # set must match across frameworks; any remaining mAP delta is then
@@ -182,6 +191,7 @@ def main():
               "ours_map50": round(float(ours_map), 4),
               "ours_true_inference_map50": round(float(ours_pred_map), 4),
               "torch_same_weights_map50": round(float(torch_map), 4),
+              "torch_argmax_decode_map50": round(float(torch_map_argmax), 4),
               "backbone_maxdiff": d_bb, "roi_head_maxdiff": d_head,
               "final_loss": round(total, 4)}
     with open(os.path.join(REPO, "PARITY_QUALITY.json"), "w") as f:

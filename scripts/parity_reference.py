@@ -254,6 +254,51 @@ def collect_torch_preds(model, samples):
     return preds
 
 
+def collect_torch_preds_argmax(model, samples):
+    """Reference-graph predictions with ONE change: the per-roi regression
+    is selected by the *predicted argmax class* instead of the GT-assigned
+    label (``frcnn_training.py:311-318`` decodes the GT class, so near-object
+    rois labelled background emit high-scoring stray boxes).
+
+    This is the round-2 verdict's plateau control: if the same exported
+    weights score ~1.0 under argmax decode while the stock graph plateaus
+    at ~0.6-0.7, the gap is pinned on the reference's prediction protocol,
+    not the weight transfer.
+    """
+    import torch
+    sys.path.insert(0, SHIM)
+    from utils.loc_bbox_iou import loc2bbox   # the reference's own decode
+
+    stash = {}
+    orig = model.head.forward
+
+    def stashing(x, rois, roi_indices, img_size):
+        out = orig(x, rois, roi_indices, img_size)
+        stash["rois"], stash["out"] = rois, out
+        return out
+
+    model.head.forward = stashing
+    model.eval()
+    preds = []
+    with torch.inference_mode():
+        for img, boxes, labels in samples:
+            x = torch.from_numpy(img).permute(2, 0, 1)[None]
+            b = torch.from_numpy(boxes)[None]
+            l = torch.from_numpy(labels)[None]
+            model(x, b, l)
+            rois = stash["rois"][0]                       # [128, 4]
+            cls_locs, scores = stash["out"]
+            n_sample = cls_locs.size(1)
+            cls_loc = cls_locs[0].view(n_sample, -1, 4)
+            cls_score, cls_idx = torch.max(scores[0], dim=1)
+            roi_loc = cls_loc[torch.arange(n_sample), cls_idx]
+            pb = loc2bbox(rois, roi_loc).numpy()
+            preds.append((pb, cls_score.numpy(), cls_idx.numpy()))
+    model.head.forward = orig
+    model.train()
+    return preds
+
+
 def run_torch_reference(samples, gts, steps):
     """Train the corrected reference driver (batch 1) and return
     (trainer, per-image predictions, seconds/step)."""
@@ -276,6 +321,10 @@ def run_torch_reference(samples, gts, steps):
     # (T_max = total epochs; run_jax sets cosine_t_max identically).
     sched = torch.optim.lr_scheduler.CosineAnnealingLR(
         opt, T_max=max(steps // len(samples), 1))
+    # PARITY_CONST_LR=1: hold the LR constant instead (the recipe under
+    # which the torch side first escapes all-background — BASELINE.md
+    # "Quality parity" §2; recorded in PARITY.json "lr_schedule")
+    const_lr = bool(os.environ.get("PARITY_CONST_LR"))
 
     eval_every = int(os.environ.get("PARITY_EVAL_EVERY", 250))
     t_train = 0.0
@@ -290,7 +339,7 @@ def run_torch_reference(samples, gts, steps):
         opt.zero_grad()
         total.backward()
         opt.step()
-        if (step + 1) % len(samples) == 0:
+        if (step + 1) % len(samples) == 0 and not const_lr:
             sched.step()                      # epoch boundary
         t_train += time.time() - t0
         if step % 50 == 0:
@@ -434,7 +483,14 @@ def main():
     print(f"our weights exported -> torch reference eval: mAP@0.5 = "
           f"{rev_map:.4f}  (ours on same split: {j_map:.4f})", flush=True)
 
-    result = {"size": SIZE, "steps": STEPS,
+    result = {"size": SIZE, "steps": STEPS, "seed": SEED,
+              "num_images": NUM_IMAGES, "lr": LR,
+              "lr_schedule": ("constant" if os.environ.get("PARITY_CONST_LR")
+                              else "cosine_per_epoch"),
+              "anchor_scales": list(ANCHOR_SCALES), "post_nms": POST_NMS,
+              "recipe": (f"python scripts/parity_reference.py {STEPS} {SIZE}"
+                         + (" (PARITY_CONST_LR=1)"
+                            if os.environ.get("PARITY_CONST_LR") else "")),
               "torch_reference_map50": round(float(t_map), 4),
               "torch_sec_per_step": round(tsec, 3),
               "this_framework_map50": round(float(j_map), 4),

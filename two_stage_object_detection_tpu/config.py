@@ -93,7 +93,10 @@ class Config:
     score_thresh: float = 0.05
     predict_nms_iou: float = 0.1
     max_detections: int = 100
-    backbone: str = "hardnet39"    # hardnet39|hardnet68|hardnet85|resnet34|resnet50|resnet101|resnext50
+    # hardnet{39,68,85}[s]|resnet{34,50,101}|resnext50 — the "s" suffix is
+    # the TPU-native strided HarDNet (true stride-2 downs; ~3.3x cheaper
+    # fwd+bwd than the reference's all-150x150 layout, same output contract)
+    backbone: str = "hardnet39"
     backbone_channels: int = 512   # informational only (profiling scripts); model shapes are inferred
 
     # losses (reference nets/frcnn_training.py:198-199, train/train.py:86-92)

@@ -182,6 +182,15 @@ class HarDNetFeatureExtraction(nn.Module):
     # activations live (HarDNet's dense concat topology makes those the
     # dominant HBM cost at 600x600 — batch 32 OOMs without this)
     remat: bool = False
+    # TPU-native variant ("hardnet39s"): make the first two "down" layers
+    # TRUE stride-2 downsamples and the tail stride-1, fixing the
+    # reference's stride-1 "downsample" quirk that keeps every block at
+    # 150x150 (reference models/hardnet.py:189-193).  Same blocks, channel
+    # math, and stride-16/512-ch output contract; blocks 1-3 run at
+    # 75/38/38 px instead of 150 — measured 3.3x cheaper fwd+bwd
+    # (docs/DESIGN.md round-3 stage attribution).  No torch counterpart:
+    # weight converters only accept the reference layout.
+    strided: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -201,6 +210,7 @@ class HarDNetFeatureExtraction(nn.Module):
             x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
 
         ch = first_ch[1]
+        n_strided = 0
         for i in range(len(n_layers)):
             blk = block_cls(ch, gr[i], grmul, n_layers[i],
                             dwconv=self.depth_wise, dtype=self.dtype,
@@ -213,7 +223,12 @@ class HarDNetFeatureExtraction(nn.Module):
                           name=f"transition{i}")(x, train)
             ch = ch_list[i]
             if down_samp[i] == 1:
-                if self.depth_wise:
+                if self.strided and n_strided < 2:
+                    # stride budget: 4 (stem) * 2 * 2 here * 1 (tail) = 16
+                    x = DWConvLayer(ch, stride=2, dtype=self.dtype,
+                                    name=f"down{i}")(x, train)
+                    n_strided += 1
+                elif self.depth_wise:
                     # reference quirk kept: depth-wise "downsample" is stride-1
                     # (models/hardnet.py:189-193), total stride stays 16
                     x = DWConvLayer(ch, stride=1, dtype=self.dtype,
@@ -221,14 +236,16 @@ class HarDNetFeatureExtraction(nn.Module):
                 else:
                     x = nn.max_pool(x, (2, 2), strides=(2, 2))
 
-        # tail: grouped s2 convs to stride 16 and 512 channels
-        # (reference models/hardnet.py:193-196; these carry bias, no BN)
+        # tail: grouped convs to 512 channels; stride 2+2 in the reference
+        # layout (models/hardnet.py:193-196; bias, no BN), stride 1 in the
+        # strided variant (the budget was spent at the down layers)
         c_last = ch_list[-1]
-        x = nn.Conv(c_last, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2,
+        s = 1 if self.strided else 2
+        x = nn.Conv(c_last, (3, 3), strides=(s, s), padding=[(1, 1)] * 2,
                     feature_group_count=c_last, dtype=self.dtype,
                     name="tail0")(x)
         x = nn.relu(x)
-        x = nn.Conv(c_last, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2,
+        x = nn.Conv(c_last, (3, 3), strides=(s, s), padding=[(1, 1)] * 2,
                     feature_group_count=c_last, dtype=self.dtype,
                     name="tail1")(x)
         x = nn.Conv(512, (1, 1), feature_group_count=512, dtype=self.dtype,

@@ -77,6 +77,22 @@ def auto_mesh(batch_size: int, n_model: int = 1,
     return make_mesh(n_data=n_data, n_model=n_model, devices=devices)
 
 
+def auto_mesh_spatial(batch_size: int, devices=None) -> Optional[Mesh]:
+    """Mesh for data+spatial parallelism (small-batch / large-image work):
+    ``data`` = the largest divisor of ``batch_size`` that fits the device
+    count, ``model`` = every remaining device, used to shard image *height*
+    (:func:`shard_batch_spatial`).  A batch-1 request on 8 chips gets a
+    (1, 8) mesh — one image's rows spread over all chips, halo exchanges
+    inserted by XLA's SPMD partitioner."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n <= 1:
+        return None
+    n_data = max(d for d in range(1, n + 1) if batch_size % d == 0 and d <= n)
+    n_model = n // n_data
+    return make_mesh(n_data=n_data, n_model=n_model, devices=devices)
+
+
 def place_train_state(state, mesh: Mesh, infer_param_sharding=None):
     """Place a TrainState on ``mesh``: params via the tensor-parallel rules
     (full replication when the ``model`` axis is 1), everything else

@@ -64,12 +64,16 @@ class Predictor:
         don't put sub-8 buckets (other than 1) in a v5e set.
       mesh: optional ``jax.sharding.Mesh`` with a ``"data"`` axis; buckets
         whose size divides over it are compiled batch-sharded.
+      spatial: with ``mesh``, also shard image *height* over the mesh's
+        ``model`` axis — batch-1 latency work spreads one image's rows over
+        chips (XLA inserts the conv halo exchanges).  Applied to buckets
+        where the input height divides the ``model`` axis.
       dtype: input dtype delivered to the model (images are cast).
     """
 
     def __init__(self, cfg: Config, params, batch_stats,
                  batch_sizes: Sequence[int] = (1, 8, 16),
-                 mesh=None, dtype=jnp.float32):
+                 mesh=None, spatial: bool = False, dtype=jnp.float32):
         self.cfg = cfg
         self.batch_sizes = tuple(sorted(set(int(b) for b in batch_sizes)))
         if not self.batch_sizes:
@@ -100,7 +104,13 @@ class Predictor:
             jitted = jax.jit(self._fn)
             if mesh is not None and b % mesh.shape.get("data", 1) == 0:
                 from jax.sharding import NamedSharding, PartitionSpec as P
-                sh = NamedSharding(mesh, P("data"))
+                n_model = mesh.shape.get("model", 1)
+                # spatial: image rows over the model axis too (batch-1
+                # buckets then still use every chip of the mesh)
+                spec = (P("data", "model")
+                        if spatial and n_model > 1 and h % n_model == 0
+                        else P("data"))
+                sh = NamedSharding(mesh, spec)
                 jitted = jax.jit(self._fn, in_shardings=(
                     jax.tree.map(lambda _: NamedSharding(mesh, P()), p_spec),
                     jax.tree.map(lambda _: NamedSharding(mesh, P()), s_spec),

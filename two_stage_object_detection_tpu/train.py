@@ -23,7 +23,8 @@ from two_stage_object_detection_tpu.eval.evaluator import evaluate_sweep
 from two_stage_object_detection_tpu.nets.trainer import (
     create_train_state, train_step)
 from two_stage_object_detection_tpu.parallel.mesh import (
-    auto_mesh, place_train_state, shard_batch)
+    auto_mesh, auto_mesh_spatial, place_train_state, replicate, shard_batch,
+    shard_batch_spatial)
 from two_stage_object_detection_tpu.utils import checkpoint as ckpt
 from two_stage_object_detection_tpu.utils.draw import plot_training_metrics
 from two_stage_object_detection_tpu.utils.utils import set_seed, update_ema
@@ -64,13 +65,20 @@ def build_loaders(cfg: Config, data_root: str = "data", device_put=None):
 def train(visualization: bool = True, cfg: Optional[Config] = None,
           data_root: str = "data", weights_dir: str = "weights",
           pre_train: bool = False, resume: bool = False,
-          eval_period: int = 10, seed: int = 42, mesh="auto"):
+          eval_period: int = 10, seed: int = 42, mesh="auto",
+          spatial: bool = False):
     """Run the full training loop (reference ``train()`` signature kept).
 
     ``mesh``: ``"auto"`` builds a data-parallel mesh over every available
     device (SURVEY §2 "TPU-native equivalents to build": batch parallelism
     via jax.sharding; the mean-gradient psum is inserted by XLA).  Pass
     ``None`` to force single-device, or an explicit ``jax.sharding.Mesh``.
+
+    ``spatial``: shard image *height* over the mesh's ``model`` axis in
+    addition to batch over ``data`` (small-batch / large-image work: a
+    batch smaller than the device count still uses every chip; XLA inserts
+    the conv halo exchanges).  With ``mesh="auto"`` the mesh is then built
+    by :func:`auto_mesh_spatial`; params/optimizer are replicated.
 
     ``resume``: restore the FULL train state (params, batch stats,
     optimiser moments, step counter) from the ``_last`` checkpoint and
@@ -85,11 +93,15 @@ def train(visualization: bool = True, cfg: Optional[Config] = None,
     rng = jax.random.PRNGKey(seed)
 
     if mesh == "auto":
-        mesh = auto_mesh(cfg.batch_size)
+        mesh = (auto_mesh_spatial(cfg.batch_size) if spatial
+                else auto_mesh(cfg.batch_size))
+    spatial = spatial and mesh is not None and mesh.shape.get("model", 1) > 1
     if mesh is not None:
-        put = lambda batch: shard_batch(batch, mesh)
-        log.info("training on %d devices, mesh=%s",
-                 mesh.devices.size, dict(mesh.shape))
+        put = lambda batch: (shard_batch_spatial(batch, mesh) if spatial
+                             else shard_batch(batch, mesh))
+        log.info("training on %d devices, mesh=%s%s",
+                 mesh.devices.size, dict(mesh.shape),
+                 " (spatial: image height over 'model')" if spatial else "")
     else:
         put = jax.device_put
 
@@ -100,8 +112,12 @@ def train(visualization: bool = True, cfg: Optional[Config] = None,
     rng, init_rng = jax.random.split(rng)
     model, state = create_train_state(cfg, init_rng,
                                       steps_per_epoch=steps_per_epoch)
+    # spatial mode replicates params (the model axis carries image rows,
+    # not parameter shards); plain mesh mode uses the tensor-parallel rules
+    place = (lambda s: replicate(s, mesh)) if spatial else \
+        (lambda s: place_train_state(s, mesh))
     if mesh is not None:
-        state = place_train_state(state, mesh)
+        state = place(state)
     os.makedirs(weights_dir, exist_ok=True)
 
     start_epoch = 0
@@ -114,7 +130,7 @@ def train(visualization: bool = True, cfg: Optional[Config] = None,
         if restored is not None:
             state = restored
             if mesh is not None:   # restored leaves are host arrays
-                state = place_train_state(state, mesh)
+                state = place(state)
             # TrainState.step counts micro-steps; continue at the epoch
             # after the last completed one
             start_epoch = min(int(state.step) // steps_per_epoch,
@@ -134,7 +150,7 @@ def train(visualization: bool = True, cfg: Optional[Config] = None,
         if restored is not None:
             state = restored
             if mesh is not None:   # restored leaves are host arrays
-                state = place_train_state(state, mesh)
+                state = place(state)
             log.info("✅ Successfully loaded pretrained model")
 
     try:
