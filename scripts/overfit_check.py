@@ -5,8 +5,8 @@ Trains the full detector on a handful of synthetic rectangle images and
 verifies mAP@0.5 (true-inference path) climbs well above chance — evidence
 that proposals, target assignment, losses, and the optimiser all cooperate.
 
-Usage: python scripts/overfit_check.py [steps] [backbone]
-(defaults 300, hardnet39)
+Usage: python scripts/overfit_check.py [steps] [backbone] [roi_pool_mode]
+(defaults 300, hardnet39, pool)
 """
 
 import sys
@@ -27,16 +27,17 @@ from two_stage_object_detection_tpu.nets.trainer import (
     create_train_state, train_step)
 
 
-def main(steps: int = 300, backbone: str = "hardnet39"):
+def main(steps: int = 300, backbone: str = "hardnet39",
+         roi_pool_mode: str = "pool"):
     cfg = Config(
         input_size=(320, 320), num_classes=3, batch_size=4, max_gt_boxes=8,
         n_train_pre_nms=2000, n_train_post_nms=256, n_test_pre_nms=1000,
         n_test_post_nms=128, roi_n_sample=64, grad_accum_steps=1, lr=1e-3,
         score_thresh=0.3, predict_nms_iou=0.3, max_detections=16,
         cosine_t_max=steps,   # one cosine period over the whole run
-        backbone=backbone,
+        backbone=backbone, roi_pool_mode=roi_pool_mode,
     )
-    print(f"backbone={backbone}", flush=True)
+    print(f"backbone={backbone} roi_pool_mode={roi_pool_mode}", flush=True)
     root = tempfile.mkdtemp(prefix="overfit_")
     ann, img_dir = generate_synthetic_coco(root, num_images=4, num_classes=3,
                                            image_size=(320, 320), seed=3)
@@ -80,4 +81,5 @@ def main(steps: int = 300, backbone: str = "hardnet39"):
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 300,
-         sys.argv[2] if len(sys.argv) > 2 else "hardnet39")
+         sys.argv[2] if len(sys.argv) > 2 else "hardnet39",
+         sys.argv[3] if len(sys.argv) > 3 else "pool")

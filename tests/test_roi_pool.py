@@ -4,7 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from two_stage_object_detection_tpu.ops.roi_pool import (
-    roi_align, roi_pool, roi_pool_mean, roi_pool_structured)
+    roi_align, roi_align_mm, roi_pool, roi_pool_mean, roi_pool_structured)
 
 
 def naive_roi_pool(feat, rois, p, scale):
@@ -77,6 +77,28 @@ def test_roi_align_linear_field():
     bw = 10.0 / 4
     want_x = 5.0 + (np.arange(4) + 0.5) * bw
     np.testing.assert_allclose(got[0, 0, :, 0], want_x, rtol=1e-5)
+
+
+def test_roi_align_mm_matches_gather(rng):
+    """The MXU matmul form of RoIAlign equals the gather form (fwd + grad)."""
+    feat = jnp.array(rng.randn(25, 25, 8).astype(np.float32))
+    rois = rng.rand(10, 4).astype(np.float32) * 300
+    rois[:, 2:] = rois[:, :2] + rng.rand(10, 2).astype(np.float32) * 120 + 16
+    rois = jnp.array(rois)
+    for sr, aligned in ((2, False), (2, True), (4, False)):
+        a = roi_align(feat, rois, 7, 1.0 / 16, sampling_ratio=sr,
+                      aligned=aligned)
+        b = roi_align_mm(feat, rois, 7, 1.0 / 16, sampling_ratio=sr,
+                         aligned=aligned)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    wgt = jnp.array(rng.randn(10, 7, 7, 8).astype(np.float32))
+    g_a = jax.grad(lambda f: jnp.sum(
+        roi_align(f, rois, 7, 1.0 / 16) * wgt))(feat)
+    g_b = jax.grad(lambda f: jnp.sum(
+        roi_align_mm(f, rois, 7, 1.0 / 16) * wgt))(feat)
+    np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_b),
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_roi_pool_structured_matches_forward_and_grad(rng):

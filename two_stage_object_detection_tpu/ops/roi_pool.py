@@ -187,6 +187,56 @@ def roi_pool_mean(features: jnp.ndarray, rois: jnp.ndarray,
     return s2 / norm.astype(dt)
 
 
+def _align_weights(lo: jnp.ndarray, span: jnp.ndarray, p: int, s: int,
+                   size: int) -> jnp.ndarray:
+    """Dense separable RoIAlign weights along one axis: ``[R, P, size]``.
+
+    Row ``(r, q)`` holds the averaged bilinear interpolation weights of bin
+    ``q``'s ``s`` sample points — at most ``2s`` nonzeros per row.
+    """
+    bin_sz = span / p                                    # [R]
+    grid = (jnp.arange(p)[:, None]
+            + (jnp.arange(s)[None, :] + 0.5) / s).reshape(-1)   # [P*S]
+    c = lo[:, None] + grid[None, :] * bin_sz[:, None]    # [R, P*S]
+    c = jnp.clip(c, 0.0, size - 1.0)
+    i0 = jnp.floor(c).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, size - 1)
+    f = c - i0
+    w = (jax.nn.one_hot(i0, size, dtype=jnp.float32) * (1.0 - f)[..., None]
+         + jax.nn.one_hot(i1, size, dtype=jnp.float32) * f[..., None])
+    return w.reshape(-1, p, s, size).sum(axis=2) / s     # [R, P, size]
+
+
+def roi_align_mm(features: jnp.ndarray, rois: jnp.ndarray,
+                 output_size: int = 7, spatial_scale: float = 1.0,
+                 sampling_ratio: int = 2, aligned: bool = False) -> jnp.ndarray:
+    """:func:`roi_align` as two MXU matmuls (TPU fast path).
+
+    Bilinear interpolation is separable, so the sample-average pooling is
+    ``out[r,py,px,c] = sum_h WY[r,py,h] * sum_w WX[r,px,w] * f[h,w,c]`` with
+    dense per-roi weight matrices — the same einsum shape as
+    :func:`roi_pool_mean`, so forward AND backward run on the MXU instead
+    of the gather pipeline (the gather version measures 93.5 ms at predict
+    scale; this form benches with the mean path).  Numerically identical to
+    :func:`roi_align` up to float summation order (tested).
+    """
+    h, w, _ = features.shape
+    p, s = output_size, sampling_ratio
+    off = 0.5 if aligned else 0.0
+    r4 = rois.astype(jnp.float32) * spatial_scale - off
+    roi_w = jnp.maximum(r4[:, 2] - r4[:, 0], 1.0)
+    roi_h = jnp.maximum(r4[:, 3] - r4[:, 1], 1.0)
+    wy = _align_weights(r4[:, 1], roi_h, p, s, h)        # [R, P, H]
+    wx = _align_weights(r4[:, 0], roi_w, p, s, w)        # [R, P, W]
+    dt = features.dtype
+    r = rois.shape[0]
+    # stage 1: [R*P, H] @ [H, W*C] on the MXU
+    f2 = features.reshape(h, -1).astype(dt)
+    s1 = (wy.astype(dt).reshape(-1, h) @ f2).reshape(r, p, w, -1)  # [R,Py,W,C]
+    # stage 2: contract W per roi
+    return jnp.einsum("rqw,rpwc->rpqc", wx.astype(dt), s1)         # [R,Py,Px,C]
+
+
 def roi_align(features: jnp.ndarray, rois: jnp.ndarray, output_size: int = 7,
               spatial_scale: float = 1.0, sampling_ratio: int = 2,
               aligned: bool = False) -> jnp.ndarray:
