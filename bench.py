@@ -177,14 +177,15 @@ def _device_batch(cfg, batch):
     }
 
 
-def bench_train(batch=16, backbone="hardnet39"):
+def bench_train(batch=16, backbone="hardnet39", roi_pool_mode="pool"):
     """Full optimisation step: fwd+bwd+optax apply, 32-step accumulation
     (the reference recipe: AdamW, loss/32, step every 32 — train.py:86-92)."""
     from two_stage_object_detection_tpu.config import Config
     from two_stage_object_detection_tpu.nets.trainer import (
         create_train_state, train_step_fn)
 
-    cfg = Config(batch_size=batch, max_gt_boxes=16, backbone=backbone)
+    cfg = Config(batch_size=batch, max_gt_boxes=16, backbone=backbone,
+                 roi_pool_mode=roi_pool_mode)
     _, state = create_train_state(cfg, jax.random.PRNGKey(0),
                                   init_image_size=(64, 64))
     batch_d = _device_batch(cfg, batch)
@@ -209,7 +210,7 @@ def bench_train(batch=16, backbone="hardnet39"):
     log(f"train16 [{backbone}] (full step incl optimizer, accum {iters}): "
         f"{dt * 1000:.2f} ms/step of {batch} -> {ips:.2f} img/s")
     detail = {"images_per_sec": round(ips, 2), "batch": batch,
-              "backbone": backbone,
+              "backbone": backbone, "roi_pool_mode": roi_pool_mode,
               "sec_per_batch": dt, "grad_accum_steps": iters,
               "includes": "fwd+bwd+optax apply+accumulation"}
 
@@ -392,8 +393,8 @@ def bench_train_backbones(batch=16):
 
 
 VALID_CONFIGS = ("batched16", "single1", "resnet50", "rpn8", "train16",
-                 "trainloop16", "pipeline", "serve", "backbones",
-                 "train_backbones", "all")
+                 "train_fast", "trainloop16", "pipeline", "serve",
+                 "backbones", "train_backbones", "all")
 # "all" = the BASELINE measurement matrix; the 7-way backbone sweep is
 # extra-credit breadth, selected explicitly
 ALL_SET = ("batched16", "single1", "resnet50", "rpn8", "train16",
@@ -438,6 +439,10 @@ def main():
         results["rpn8"] = bench_rpn()
     if "train16" in sel:
         results["train16"] = bench_train()
+    if "train_fast" in sel:
+        # the shipped fast recipe: strided backbone + MXU matmul RoIAlign
+        results["train_fast"] = bench_train(backbone="hardnet39s",
+                                            roi_pool_mode="align")
     # BENCH_PIPELINE=device / BENCH_WORKERS=process record their variants
     # under distinct keys so all four host-pipeline rows (thread/process x
     # host/device augment) coexist in BENCH_DETAILS

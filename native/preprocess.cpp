@@ -33,8 +33,19 @@ static void jpeg_err_exit(j_common_ptr cinfo) {
 }
 
 // Decode a JPEG byte buffer to RGB u8.  Returns malloc'd buffer (caller
-// frees via free_buffer) or nullptr; writes height/width.
-uint8_t* decode_jpeg(const uint8_t* data, size_t len, int* h, int* w) {
+// frees via free_buffer) or nullptr; writes decoded height/width to h/w and
+// the ORIGINAL image dims to full_h/full_w (equal unless scaled).
+//
+// When min_h/min_w > 0, uses libjpeg's DCT-domain scaled decode: the largest
+// power-of-two denominator that keeps the decoded image >= (min_h, min_w) is
+// selected, so a 2400x2400 source headed for a 600x600 model input is
+// decoded directly at 600x600 — ~4-8x less IDCT + colour-convert work on the
+// host (the reference decodes full-res in PIL and resizes after,
+// dataset/dataloader.py:33-40).  The DCT downscale is a proper lowpass, and
+// the remaining <2x factor still goes through the antialiased resize below.
+static uint8_t* decode_jpeg_impl(const uint8_t* data, size_t len,
+                                 int* h, int* w, int* full_h, int* full_w,
+                                 int min_h, int min_w) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
@@ -49,6 +60,18 @@ uint8_t* decode_jpeg(const uint8_t* data, size_t len, int* h, int* w) {
   jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), len);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
+  *full_h = cinfo.image_height;
+  *full_w = cinfo.image_width;
+  if (min_h > 0 && min_w > 0) {
+    unsigned denom = 1;
+    while (denom < 8 &&
+           cinfo.image_height >= 2 * denom * unsigned(min_h) &&
+           cinfo.image_width >= 2 * denom * unsigned(min_w)) {
+      denom *= 2;
+    }
+    cinfo.scale_num = 1;
+    cinfo.scale_denom = denom;
+  }
   jpeg_start_decompress(&cinfo);
   *h = cinfo.output_height;
   *w = cinfo.output_width;
@@ -61,6 +84,11 @@ uint8_t* decode_jpeg(const uint8_t* data, size_t len, int* h, int* w) {
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
   return out;
+}
+
+uint8_t* decode_jpeg(const uint8_t* data, size_t len, int* h, int* w) {
+  int fh, fw;
+  return decode_jpeg_impl(data, len, h, w, &fh, &fw, 0, 0);
 }
 
 struct PngReadState {
@@ -224,15 +252,24 @@ void resize_bilinear_normalize(const uint8_t* src, int sh, int sw,
 
 // Fused: decode bytes -> bilinear resize -> normalised float32 HWC.
 // Writes original dims to oh/ow (for box rescaling).  Returns 0 on success.
+// JPEG sources much larger than the target are decoded DCT-scaled (see
+// decode_jpeg_impl) — the resize then covers only the residual <2x factor.
 int decode_resize_normalize(const uint8_t* data, size_t len,
                             float* dst, int dh, int dw, int* oh, int* ow) {
-  int h = 0, w = 0;
-  uint8_t* rgb = decode_image(data, len, &h, &w);
+  int h = 0, w = 0, fh = 0, fw = 0;
+  uint8_t* rgb;
+  if (len >= 3 && data[0] == 0xFF && data[1] == 0xD8) {
+    rgb = decode_jpeg_impl(data, len, &h, &w, &fh, &fw, dh, dw);
+  } else {
+    rgb = decode_image(data, len, &h, &w);
+    fh = h;
+    fw = w;
+  }
   if (!rgb) return -1;
   resize_bilinear_normalize(rgb, h, w, dst, dh, dw);
   free(rgb);
-  *oh = h;
-  *ow = w;
+  *oh = fh;   // original dims: box rescale is target/original
+  *ow = fw;
   return 0;
 }
 

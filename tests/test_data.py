@@ -120,3 +120,73 @@ def test_loader_smaller_than_batch(synth):
     batches = list(loader)
     assert len(batches) == 1
     assert batches[0]["image"].shape[0] == 4  # repeated to fill
+
+
+def test_dataset_cache_decode_only(synth, monkeypatch):
+    """cache=True: second access skips decode and matches within u8 quantisation."""
+    from two_stage_object_detection_tpu.data import native
+
+    ann, img_dir = synth
+    index = load_coco(ann, img_dir)
+    ds = DetectionDataset(index, input_size=(64, 64), max_gt=5, train=True,
+                          decode_only=True, cache=True)
+    cold = ds[0]
+    calls = {"n": 0}
+    real = native.decode_resize
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(native, "decode_resize", counting)
+    warm = ds[0]
+    assert calls["n"] == 0, "cache hit must not decode"
+    # u8 re-quantisation bound: 1/510 per pixel
+    assert np.abs(warm["image"] - cold["image"]).max() <= (0.5 / 255) + 1e-6
+    np.testing.assert_array_equal(warm["boxes"], cold["boxes"])
+    np.testing.assert_array_equal(warm["labels"], cold["labels"])
+    assert ds._cache_bytes > 0
+
+
+def test_dataset_cache_host_augment_epoch_variation(synth):
+    """Host-augment mode caches the original decode; the epoch enters the
+    augmentation rng so epochs draw different augmentations even with the
+    decode cached."""
+    ann, img_dir = synth
+    index = load_coco(ann, img_dir)
+    ds = DetectionDataset(index, input_size=(64, 64), max_gt=5, train=True,
+                          cache=True)
+    a = ds.get(1, epoch=0)
+    assert 1 in ds._cache
+    b = ds.get(1, epoch=1)
+    assert not np.array_equal(a["image"], b["image"]), \
+        "epoch must vary the augmentation stream"
+    # same (i, epoch) -> deterministic
+    np.testing.assert_array_equal(a["image"], ds.get(1, epoch=0)["image"])
+
+
+def test_dataset_cache_budget(synth):
+    """Insertion stops at cache_max_bytes instead of evicting."""
+    ann, img_dir = synth
+    index = load_coco(ann, img_dir)
+    ds = DetectionDataset(index, input_size=(64, 64), max_gt=5, train=True,
+                          decode_only=True, cache=True, cache_max_bytes=1)
+    ds[0]
+    assert ds._cache == {} and ds._cache_bytes == 0
+
+
+def test_loader_process_mode(synth):
+    """Process pool: epoch rides the map payload (workers hold a dataset
+    copy, so attribute mutation cannot reach them)."""
+    ann, img_dir = synth
+    index = load_coco(ann, img_dir)
+    ds = DetectionDataset(index, input_size=(32, 32), max_gt=5, train=True)
+    loader = Loader(ds, batch_size=2, shuffle=False, num_workers=2,
+                    worker_mode="process")
+    try:
+        e0 = np.concatenate([b["image"].ravel() for b in loader])
+        e1 = np.concatenate([b["image"].ravel() for b in loader])
+    finally:
+        loader.close()
+    assert e0.shape == e1.shape
+    assert not np.array_equal(e0, e1), "augmentation must vary by epoch"

@@ -54,3 +54,22 @@ def test_resize_f32_constant_preserved():
     img = np.full((40, 40, 3), 0.37, np.float32)
     out = native.resize_f32(img, (17, 23))
     np.testing.assert_allclose(out, 0.37, rtol=1e-5)
+
+
+def test_scaled_jpeg_decode_resize(tmp_path):
+    """Large JPEG sources decode DCT-scaled toward the target: the result
+    must match the full-res decode+resize closely and report ORIGINAL dims
+    (box rescale depends on them)."""
+    yy, xx = np.mgrid[0:1800, 0:1500]
+    img = np.stack([yy / 1800 * 255, xx / 1500 * 255,
+                    (yy + xx) / 3300 * 255], -1).astype(np.uint8)
+    p = str(tmp_path / "big.jpg")
+    Image.fromarray(img).save(p, "JPEG", quality=95)
+    arr, oh, ow = native.decode_resize(p, (300, 300))
+    assert (oh, ow) == (1800, 1500)
+    assert arr.shape == (300, 300, 3)
+    ref = np.asarray(Image.open(p).resize((300, 300), Image.BILINEAR),
+                     np.float32) / 255.0
+    # DCT-domain lowpass vs triangle filter differ slightly in passband
+    assert np.abs(arr - ref).mean() < 0.01
+    assert np.abs(arr - ref).max() < 0.08

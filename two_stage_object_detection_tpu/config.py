@@ -117,6 +117,11 @@ class Config:
     # run the training augmentation chain on device (host does only the C++
     # decode+resize) — lifts the host input ceiling ~4x on few-core hosts
     device_augment: bool = False
+    # keep decoded images in RAM as u8 so epochs after the first skip JPEG
+    # decode (the dominant host cost on few-core hosts); insertion stops at
+    # cache_max_bytes — see data/pipeline.py:DetectionDataset
+    cache_decoded: bool = False
+    cache_max_bytes: int = 4 << 30
     # disable the training augmentation chain entirely (overfit/parity
     # experiments; the reference's train transform is hard-wired,
     # dataset/transform.py:4-12)

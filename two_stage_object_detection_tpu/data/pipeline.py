@@ -38,36 +38,65 @@ class DetectionDataset:
     rescale; the augmentation chain runs on device inside the train step
     (:mod:`.device_transforms`).  ~4x the host throughput of the full
     host-side chain on this 1-core container.
+
+    ``cache=True``: decoded images are kept in RAM as u8 (the FFCV/DALI
+    recipe), so epochs after the first skip JPEG decode entirely — the
+    dominant host cost.  In ``decode_only`` mode the *resized* image is
+    cached (1 byte/px at input size); in host-augment mode the
+    original-resolution decode is cached and augmentation still runs per
+    epoch.  u8 re-quantisation deviates <=1/510 per pixel — far below the
+    photometric augmentation noise.  Insertion stops at ``cache_max_bytes``
+    (no eviction: steady-state behavior stays predictable).  The reference
+    re-decodes every epoch in its DataLoader workers
+    (dataset/dataloader.py:33-48).
     """
 
     def __init__(self, index: CocoIndex, input_size=(600, 600),
                  max_gt: int = 100, train: bool = True, seed: int = 0,
-                 decode_only: bool = False):
+                 decode_only: bool = False, cache: bool = False,
+                 cache_max_bytes: int = 4 << 30):
         self.index = index
         self.input_size = tuple(input_size)
         self.max_gt = max_gt
         self.train = train
         self.seed = seed
         self.decode_only = decode_only
+        self._cache = {} if cache else None
+        self._cache_bytes = 0
+        self.cache_max_bytes = cache_max_bytes
+
+    def _cache_put(self, i: int, value, nbytes: int) -> None:
+        # dict assignment is atomic under the GIL; worker threads share the
+        # cache, process workers each hold their own copy (documented).
+        if self._cache is not None and self._cache_bytes + nbytes <= self.cache_max_bytes:
+            self._cache[i] = value
+            self._cache_bytes += nbytes
 
     def __len__(self):
         return len(self.index.records)
 
-    def load_image(self, rec) -> np.ndarray:
+    def load_image(self, rec, i: Optional[int] = None) -> np.ndarray:
         from two_stage_object_detection_tpu.data import native
 
+        if self._cache is not None and i is not None and i in self._cache:
+            return self._cache[i].astype(np.float32) / 255.0
         u8 = native.decode(rec["image_path"])     # C++ libjpeg/libpng path
-        if u8 is not None:
-            return u8.astype(np.float32) / 255.0
-        img = Image.open(rec["image_path"]).convert("RGB")
-        return np.asarray(img, np.float32) / 255.0
+        if u8 is None:
+            img = Image.open(rec["image_path"]).convert("RGB")
+            u8 = np.asarray(img, np.uint8)
+        if i is not None:
+            self._cache_put(i, u8, u8.nbytes)
+        return u8.astype(np.float32) / 255.0
 
-    def _decode_resized(self, rec):
+    def _decode_resized(self, rec, i: Optional[int] = None):
         """Fused decode+resize -> (img f32 [H,W,3], boxes scaled, labels)."""
         from two_stage_object_detection_tpu.data import native
         from two_stage_object_detection_tpu.data.transforms import (
             sanitize_boxes)
 
+        if self._cache is not None and i is not None and i in self._cache:
+            u8, boxes, labels = self._cache[i]
+            return u8.astype(np.float32) / 255.0, boxes, labels
         out = native.decode_resize(rec["image_path"], self.input_size)
         if out is not None:
             img, oh, ow = out
@@ -81,17 +110,32 @@ class DetectionDataset:
         boxes = rec["boxes"] * np.array([w1 / ow, h1 / oh, w1 / ow, h1 / oh],
                                         np.float32)
         boxes, labels = sanitize_boxes(boxes, rec["labels"], self.input_size)
+        if i is not None:
+            u8 = np.clip(np.rint(img * 255.0), 0, 255).astype(np.uint8)
+            self._cache_put(i, (u8, boxes, labels), u8.nbytes + boxes.nbytes)
         return img, boxes, labels
 
     def __getitem__(self, i: int):
+        return self.get(i, 0)
+
+    def get(self, i: int, epoch: int = 0):
+        """Sample ``i`` with the augmentation stream of ``epoch``.
+
+        The epoch enters the rng derivation so each image draws *fresh*
+        augmentations every epoch (the reference gets this implicitly from
+        torch's global-rng DataLoader workers) — essential once ``cache``
+        removes the decode, or training would see identical pixels each
+        epoch modulo shuffle order.
+        """
         rec = self.index.records[i]
         if self.decode_only:
-            img, boxes, labels = self._decode_resized(rec)
+            img, boxes, labels = self._decode_resized(rec, i)
         else:
-            img = self.load_image(rec)
+            img = self.load_image(rec, i)
             boxes = rec["boxes"]
             labels = rec["labels"]
-            rng = np.random.RandomState((self.seed * 100003 + i) % (2 ** 31))
+            rng = np.random.RandomState(
+                (self.seed * 100003 + epoch * 7919 + i) % (2 ** 31))
             tf = train_transform if self.train else eval_transform
             img, boxes, labels = tf(img, boxes, labels, rng,
                                     size=self.input_size)
@@ -119,8 +163,9 @@ def _init_worker(ds: DetectionDataset) -> None:
     _WORKER_DS = ds
 
 
-def _worker_getitem(i: int):
-    return _WORKER_DS[i]
+def _worker_getitem(args):
+    i, epoch = args
+    return _WORKER_DS.get(i, epoch)
 
 
 class Loader:
@@ -170,9 +215,10 @@ class Loader:
             return self._pool, False
         return self._make_pool(), True
 
-    def _map_fn(self):
-        return (_worker_getitem if self.worker_mode == "process"
-                else self.dataset.__getitem__)
+    def _map_fn(self, epoch: int):
+        if self.worker_mode == "process":
+            return _worker_getitem, (lambda i: (i, epoch))
+        return (lambda i: self.dataset.get(i, epoch)), (lambda i: i)
 
     def close(self):
         """Shut down a persistent worker pool (idempotent)."""
@@ -206,7 +252,7 @@ class Loader:
         stop = threading.Event()
 
         pool, own_pool = self._get_pool()
-        map_fn = self._map_fn()
+        map_fn, pack = self._map_fn(self.epoch)
 
         def produce():
             try:
@@ -214,7 +260,7 @@ class Loader:
                     if stop.is_set():
                         return
                     idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
-                    samples = list(pool.map(map_fn, idxs))
+                    samples = list(pool.map(map_fn, [pack(i) for i in idxs]))
                     batch = {k: np.stack([s[k] for s in samples])
                              for k in samples[0]}
                     if self.device_put is not None:
