@@ -241,7 +241,10 @@ def _loader(cfg, root, device_put=None):
     idx = load_coco(os.path.join(root, "annotations", "instances_train2017.json"),
                     os.path.join(root, "train2017"), ratio=1.0)
     ds = DetectionDataset(idx, cfg.input_size, cfg.max_gt_boxes, train=True,
-                          decode_only=cfg.device_augment)
+                          decode_only=cfg.device_augment,
+                          cache=cfg.cache_decoded,
+                          cache_max_bytes=cfg.cache_max_bytes,
+                          uint8_images=cfg.transfer_uint8)
     return Loader(ds, cfg.batch_size, shuffle=True,
                   num_workers=cfg.num_workers, prefetch=cfg.prefetch_factor,
                   device_put=device_put, worker_mode=cfg.worker_mode,
@@ -255,7 +258,8 @@ def bench_pipeline(batch=16):
 
     cfg = Config(batch_size=batch, max_gt_boxes=16,
                  worker_mode=os.environ.get("BENCH_WORKERS", "thread"),
-                 device_augment=os.environ.get("BENCH_PIPELINE", "") == "device")
+                 device_augment=os.environ.get("BENCH_PIPELINE", "") == "device",
+                 cache_decoded=os.environ.get("BENCH_CACHE", "") == "1")
     root = _bench_data_root()
     loader = _loader(cfg, root)
     n_img, sink = 0, 0.0
@@ -270,6 +274,8 @@ def bench_pipeline(batch=16):
     dt = time.perf_counter() - t0
     ips = n_img / dt
     mode = "decode-only" if cfg.device_augment else "decode+augment"
+    if cfg.cache_decoded:
+        mode += "+cache"
     log(f"pipeline ({cfg.worker_mode} x{cfg.num_workers}, {mode}): "
         f"{ips:.1f} img/s host ({n_img} images, sink={sink:.1f})")
     loader.close()
@@ -286,11 +292,22 @@ def bench_trainloop(batch=16, steps=24):
     from two_stage_object_detection_tpu.nets.trainer import (
         create_train_state, train_step)
 
+    over = {}
+    if os.environ.get("BENCH_BACKBONE"):
+        over["backbone"] = os.environ["BENCH_BACKBONE"]
+    if os.environ.get("BENCH_ROI"):
+        over["roi_pool_mode"] = os.environ["BENCH_ROI"]
     cfg = Config(batch_size=batch, max_gt_boxes=16, grad_accum_steps=1,
                  worker_mode=os.environ.get("BENCH_WORKERS", "thread"),
-                 device_augment=os.environ.get("BENCH_PIPELINE", "") == "device")
+                 device_augment=os.environ.get("BENCH_PIPELINE", "") == "device",
+                 cache_decoded=os.environ.get("BENCH_CACHE", "") == "1",
+                 transfer_uint8=os.environ.get("BENCH_U8", "") == "1",
+                 **over)
     root = _bench_data_root()
     loader = _loader(cfg, root, device_put=jax.device_put)
+    if cfg.cache_decoded:     # prime: measure the cached steady state
+        for _ in loader:
+            pass
     _, state = create_train_state(cfg, jax.random.PRNGKey(0),
                                   init_image_size=(64, 64))
     rng = jax.random.PRNGKey(2)
@@ -316,13 +333,17 @@ def bench_trainloop(batch=16, steps=24):
     run(state, steps)
     dt = (time.perf_counter() - t0) / steps
     ips = batch / dt
-    log(f"trainloop16 (Loader -> train_step): {dt * 1000:.2f} ms/step "
+    log(f"trainloop16 [{cfg.backbone}/{cfg.roi_pool_mode}] "
+        f"(Loader -> train_step): {dt * 1000:.2f} ms/step "
         f"of {batch} -> {ips:.2f} img/s")
     loader.close()
     return {"images_per_sec": round(ips, 2), "batch": batch,
             "sec_per_batch": dt, "steps": steps,
             "worker_mode": cfg.worker_mode,
             "device_augment": cfg.device_augment,
+            "cache_decoded": cfg.cache_decoded,
+            "transfer_uint8": cfg.transfer_uint8,
+            "backbone": cfg.backbone, "roi_pool_mode": cfg.roi_pool_mode,
             "includes": "host decode(+augment)+device_put+full train step"}
 
 
@@ -353,9 +374,16 @@ def bench_serve(batches=(1, 2, 4, 8, 16)):
     The bucket set mirrors :class:`serving.Predictor`'s AOT-compiled batch
     buckets; each point is the in-jit scan steady state (what a saturated
     serving bucket achieves — per-dispatch wall time on this tunneled
-    runtime would mostly measure the ~30 ms host roundtrip)."""
+    runtime would mostly measure the ~30 ms host roundtrip).
+
+    ``BENCH_BACKBONE``/``BENCH_ROI`` select the fast-recipe variant; the
+    result then lands under the ``serve_fast`` key."""
     from two_stage_object_detection_tpu.config import Config
     cfg = Config()
+    if os.environ.get("BENCH_BACKBONE"):
+        cfg = cfg.replace(backbone=os.environ["BENCH_BACKBONE"])
+    if os.environ.get("BENCH_ROI"):
+        cfg = cfg.replace(roi_pool_mode=os.environ["BENCH_ROI"])
     model, variables = _model_and_vars(cfg)
 
     def step(variables, images, carry):
@@ -449,12 +477,20 @@ def main():
     suffix = "_device" if os.environ.get("BENCH_PIPELINE") == "device" else ""
     if os.environ.get("BENCH_WORKERS") == "process":
         suffix += "_process"
+    if os.environ.get("BENCH_CACHE") == "1":
+        suffix += "_cached"
+    if os.environ.get("BENCH_U8") == "1":
+        suffix += "_u8"
+    if os.environ.get("BENCH_BACKBONE") or os.environ.get("BENCH_ROI"):
+        suffix += "_fast"
     if "pipeline" in sel:
         results["pipeline" + suffix] = bench_pipeline()
     if "trainloop16" in sel:
         results["trainloop16" + suffix] = bench_trainloop()
     if "serve" in sel:
-        results["serve"] = bench_serve()
+        key = ("serve_fast" if (os.environ.get("BENCH_BACKBONE")
+                                or os.environ.get("BENCH_ROI")) else "serve")
+        results[key] = bench_serve()
     if "backbones" in sel:
         results["backbones"] = bench_backbones()
     if "train_backbones" in sel:

@@ -161,3 +161,28 @@ def test_train_forward_deterministic_without_rng(setup, rng):
     o2 = eval_step(state, batch, jax.random.PRNGKey(1))
     np.testing.assert_allclose(np.asarray(o1["losses"]["total"]),
                                np.asarray(o2["losses"]["total"]), rtol=1e-6)
+
+
+def test_uint8_wire_format_matches_f32(setup, rng):
+    """u8 batches (Config.transfer_uint8 wire format) convert on device and
+    match the f32 pipeline exactly when pixels are u8-representable."""
+    cfg, model, state = setup
+    batch = tiny_batch(cfg, rng)
+    u8 = np.clip(np.rint(np.asarray(batch["image"]) * 255), 0, 255
+                 ).astype(np.uint8)
+    b8 = {**batch, "image": jnp.array(u8)}
+    bf = {**batch, "image": jnp.array(u8.astype(np.float32) / 255.0)}
+    r = jax.random.PRNGKey(5)
+    o8 = eval_step(state, b8, r)
+    of = eval_step(state, bf, r)
+    np.testing.assert_allclose(float(o8["losses"]["total"]),
+                               float(of["losses"]["total"]), rtol=0, atol=0)
+    # train path: run each from an identical fresh copy (train_step donates)
+    copy = lambda s: jax.tree_util.tree_map(
+        lambda x: jnp.array(x) if hasattr(x, "dtype") else x, s)
+    _, l8 = train_step(copy(state), b8, r)
+    _, lf = train_step(copy(state), bf, r)
+    # XLA fuses the on-device u8->f32 convert into the first conv, which
+    # reassociates the input normalisation — ulp-level only
+    np.testing.assert_allclose(float(l8["total"]), float(lf["total"]),
+                               rtol=1e-6)

@@ -122,6 +122,10 @@ class Config:
     # cache_max_bytes — see data/pipeline.py:DetectionDataset
     cache_decoded: bool = False
     cache_max_bytes: int = 4 << 30
+    # ship pixels host->device as u8 and convert to f32 on device — 4x less
+    # host->device traffic (69 -> 17 MB at batch 16, 600x600), <=1/510
+    # per-pixel quantisation; the decisive factor on transfer-limited hosts
+    transfer_uint8: bool = False
     # disable the training augmentation chain entirely (overfit/parity
     # experiments; the reference's train transform is hard-wired,
     # dataset/transform.py:4-12)

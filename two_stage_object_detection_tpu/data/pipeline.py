@@ -54,7 +54,8 @@ class DetectionDataset:
     def __init__(self, index: CocoIndex, input_size=(600, 600),
                  max_gt: int = 100, train: bool = True, seed: int = 0,
                  decode_only: bool = False, cache: bool = False,
-                 cache_max_bytes: int = 4 << 30):
+                 cache_max_bytes: int = 4 << 30,
+                 uint8_images: bool = False):
         self.index = index
         self.input_size = tuple(input_size)
         self.max_gt = max_gt
@@ -64,6 +65,10 @@ class DetectionDataset:
         self._cache = {} if cache else None
         self._cache_bytes = 0
         self.cache_max_bytes = cache_max_bytes
+        # wire format: emit images as u8 [0,255]; the jitted steps convert
+        # to f32 on device (Config.transfer_uint8) — 4x less host->device
+        # traffic, <=1/510 per-pixel quantisation
+        self.uint8_images = uint8_images
 
     def _cache_put(self, i: int, value, nbytes: int) -> None:
         # dict assignment is atomic under the GIL; worker threads share the
@@ -96,6 +101,8 @@ class DetectionDataset:
 
         if self._cache is not None and i is not None and i in self._cache:
             u8, boxes, labels = self._cache[i]
+            if self.uint8_images:      # u8 wire format: no f32 roundtrip
+                return u8, boxes, labels
             return u8.astype(np.float32) / 255.0, boxes, labels
         out = native.decode_resize(rec["image_path"], self.input_size)
         if out is not None:
@@ -148,7 +155,12 @@ class DetectionDataset:
         out_boxes[:n] = boxes[:n]
         out_labels[:n] = labels[:n]
         out_valid[:n] = True
-        return {"image": img.astype(np.float32), "boxes": out_boxes,
+        if self.uint8_images:
+            if img.dtype != np.uint8:
+                img = np.clip(np.rint(img * 255.0), 0, 255).astype(np.uint8)
+        else:
+            img = img.astype(np.float32)
+        return {"image": img, "boxes": out_boxes,
                 "labels": out_labels, "valid": out_valid}
 
 

@@ -50,11 +50,13 @@ def build_loaders(cfg: Config, data_root: str = "data", device_put=None):
                                 train=cfg.augment,
                                 decode_only=cfg.device_augment,
                                 cache=cfg.cache_decoded,
-                                cache_max_bytes=cfg.cache_max_bytes)
+                                cache_max_bytes=cfg.cache_max_bytes,
+                                uint8_images=cfg.transfer_uint8)
     eval_ds = DetectionDataset(eval_idx, cfg.input_size, cfg.max_gt_boxes,
                                train=False, decode_only=cfg.device_augment,
                                cache=cfg.cache_decoded,
-                               cache_max_bytes=cfg.cache_max_bytes)
+                               cache_max_bytes=cfg.cache_max_bytes,
+                               uint8_images=cfg.transfer_uint8)
     # device_put in the producer thread overlaps host->device transfer of
     # batch k+1 with step k (the reference's pinned-memory double buffering)
     mk = lambda ds, sh: Loader(ds, cfg.batch_size, shuffle=sh,
