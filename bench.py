@@ -290,14 +290,21 @@ def bench_trainloop(batch=16, steps=24):
     ``steps`` steps; the final device_get syncs the whole dependent chain."""
     from two_stage_object_detection_tpu.config import Config
     from two_stage_object_detection_tpu.nets.trainer import (
-        create_train_state, train_step)
+        create_train_state, train_macro_step, train_step)
 
     over = {}
+    if os.environ.get("BENCH_FUSED", "") == "1":
+        # fused accumulation: 8 micro-steps per dispatch (train_macro_step)
+        over["grad_accum_steps"] = int(os.environ.get("BENCH_ACCUM", "8"))
+        over["fused_accum"] = True
     if os.environ.get("BENCH_BACKBONE"):
         over["backbone"] = os.environ["BENCH_BACKBONE"]
     if os.environ.get("BENCH_ROI"):
         over["roi_pool_mode"] = os.environ["BENCH_ROI"]
-    cfg = Config(batch_size=batch, max_gt_boxes=16, grad_accum_steps=1,
+    if os.environ.get("BENCH_PREFETCH"):
+        over["prefetch_factor"] = int(os.environ["BENCH_PREFETCH"])
+    over.setdefault("grad_accum_steps", 1)
+    cfg = Config(batch_size=batch, max_gt_boxes=16,
                  worker_mode=os.environ.get("BENCH_WORKERS", "thread"),
                  device_augment=os.environ.get("BENCH_PIPELINE", "") == "device",
                  cache_decoded=os.environ.get("BENCH_CACHE", "") == "1",
@@ -312,22 +319,37 @@ def bench_trainloop(batch=16, steps=24):
                                   init_image_size=(64, 64))
     rng = jax.random.PRNGKey(2)
 
+    fused_k = cfg.grad_accum_steps if cfg.fused_accum else 0
+
     def run(state, n):
-        it, done, losses = iter(loader), 0, None
+        it, done, last = iter(loader), 0, None
+        buf = []
         while done < n:
             try:
                 b = next(it)
             except StopIteration:
                 it = iter(loader)
                 continue
-            state, losses = train_step(state, b, rng,
-                                       device_augment=cfg.device_augment)
-            done += 1
-        jax.device_get(losses["total"])
+            if fused_k:
+                buf.append(b)
+                if len(buf) == fused_k:
+                    sb = jax.tree_util.tree_map(
+                        lambda *xs: jnp.stack(xs), *buf)
+                    buf = []
+                    state, totals = train_macro_step(
+                        state, sb, rng, device_augment=cfg.device_augment)
+                    last = totals
+                    done += fused_k
+            else:
+                state, losses = train_step(state, b, rng,
+                                           device_augment=cfg.device_augment)
+                last = losses["total"]
+                done += 1
+        jax.device_get(last)
         return state
 
     t0 = time.perf_counter()
-    state = run(state, 2)      # compile + warm
+    state = run(state, max(2, fused_k))      # compile + warm
     log(f"  compile+first: {time.perf_counter() - t0:.1f}s")
     t0 = time.perf_counter()
     run(state, steps)
@@ -343,6 +365,8 @@ def bench_trainloop(batch=16, steps=24):
             "device_augment": cfg.device_augment,
             "cache_decoded": cfg.cache_decoded,
             "transfer_uint8": cfg.transfer_uint8,
+            "fused_accum": cfg.fused_accum,
+            "grad_accum_steps": cfg.grad_accum_steps,
             "backbone": cfg.backbone, "roi_pool_mode": cfg.roi_pool_mode,
             "includes": "host decode(+augment)+device_put+full train step"}
 
@@ -481,6 +505,8 @@ def main():
         suffix += "_cached"
     if os.environ.get("BENCH_U8") == "1":
         suffix += "_u8"
+    if os.environ.get("BENCH_FUSED") == "1":
+        suffix += "_fusedacc"
     if os.environ.get("BENCH_BACKBONE") or os.environ.get("BENCH_ROI"):
         suffix += "_fast"
     if "pipeline" in sel:

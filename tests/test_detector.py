@@ -186,3 +186,48 @@ def test_uint8_wire_format_matches_f32(setup, rng):
     # reassociates the input normalisation — ulp-level only
     np.testing.assert_allclose(float(l8["total"]), float(lf["total"]),
                                rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_train_macro_step_matches_sequential(rng):
+    """One fused lax.scan dispatch == the same micro-steps run eagerly.
+
+    Compared at the ACCUMULATED-GRADIENT level (grad_accum_steps > k, so no
+    optimiser apply happens): post-Adam params cannot be compared bitwise —
+    ``m/sqrt(v)`` amplifies the reassociation-level (~1e-6) gradient
+    differences between the scan-compiled and standalone executables into
+    sign flips on near-zero-gradient leaves (same class of difference as
+    jit-vs-eager).  The scan mechanics under test — batch unstacking, rng
+    split, state carry, loss stacking — are exactly what the accumulator
+    captures."""
+    from two_stage_object_detection_tpu.nets.trainer import (
+        train_macro_step, train_step_fn)
+    cfg = tiny_config(grad_accum_steps=4)
+    _, state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                  init_image_size=(32, 32))
+    k = 2
+    batches = [tiny_batch(cfg, rng) for _ in range(k)]
+    sb = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
+    r = jax.random.PRNGKey(9)
+    copy = lambda s: jax.tree_util.tree_map(
+        lambda x: jnp.array(x) if hasattr(x, "dtype") else x, s)
+
+    s_macro, totals = train_macro_step(copy(state), sb, r)
+    # the macro step derives micro rngs as split(r, k)
+    s_seq = copy(state)
+    seq_totals = []
+    for b, rr in zip(batches, jax.random.split(r, k)):
+        s_seq, losses = jax.jit(train_step_fn)(s_seq, b, rr)
+        seq_totals.append(float(losses["total"]))
+    np.testing.assert_allclose(np.asarray(totals), seq_totals, rtol=1e-6)
+    # MultiSteps accumulator: same mean gradient so far, no apply yet
+    for pm, ps in zip(jax.tree_util.tree_leaves(s_macro.params),
+                      jax.tree_util.tree_leaves(s_seq.params)):
+        np.testing.assert_array_equal(np.asarray(pm), np.asarray(ps))
+    acc_m = jax.tree_util.tree_leaves(s_macro.opt_state)
+    acc_s = jax.tree_util.tree_leaves(s_seq.opt_state)
+    assert len(acc_m) == len(acc_s)
+    for am, as_ in zip(acc_m, acc_s):
+        np.testing.assert_allclose(np.asarray(am), np.asarray(as_),
+                                   rtol=1e-4, atol=1e-5)
+    assert int(s_macro.step) == int(s_seq.step) == k

@@ -74,6 +74,45 @@ def test_data_parallel_train_step_matches_single_device():
 
 
 @pytest.mark.slow
+def test_fused_macro_step_under_mesh_matches_single_device():
+    """train_macro_step with mesh-sharded state + stacked sharded batches
+    gives the same losses as on one device.
+
+    The fused path stacks K already-sharded [B,...] batches into a
+    [K,B,...] superbatch outside jit (train.py fused branch); this pins
+    that GSPMD propagates a usable sharding through that stack and the
+    lax.scan, and that the math is unchanged."""
+    from two_stage_object_detection_tpu.nets.trainer import (
+        create_train_state, train_macro_step)
+    from tests.test_detector import tiny_batch, tiny_config
+
+    cfg = tiny_config(batch_size=8, grad_accum_steps=2, freeze_bn=True)
+    _, state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                  init_image_size=(32, 32))
+    rng = np.random.RandomState(1)
+    batches = [
+        {k: np.asarray(v) for k, v in tiny_batch(cfg, rng).items()}
+        for _ in range(2)
+    ]
+    r = jax.random.PRNGKey(7)
+
+    state_1 = jax.tree_util.tree_map(jnp.array, state)
+    sb_1 = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                  *[{k: jnp.asarray(v) for k, v in b.items()}
+                                    for b in batches])
+    _, totals_1 = train_macro_step(state_1, sb_1, r)
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    state_8 = replicate(jax.tree_util.tree_map(jnp.array, state), mesh)
+    sharded = [shard_batch(b, mesh) for b in batches]
+    sb_8 = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *sharded)
+    _, totals_8 = train_macro_step(state_8, sb_8, r)
+
+    np.testing.assert_allclose(np.asarray(totals_1), np.asarray(totals_8),
+                               rtol=2e-4)
+
+
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)

@@ -126,6 +126,10 @@ class Config:
     # host->device traffic (69 -> 17 MB at batch 16, 600x600), <=1/510
     # per-pixel quantisation; the decisive factor on transfer-limited hosts
     transfer_uint8: bool = False
+    # run each grad_accum_steps accumulation cycle as ONE lax.scan dispatch
+    # (nets/trainer.py:train_macro_step) — amortises per-step host dispatch
+    # overhead on remote/attached hosts
+    fused_accum: bool = False
     # disable the training augmentation chain entirely (overfit/parity
     # experiments; the reference's train transform is hard-wired,
     # dataset/transform.py:4-12)

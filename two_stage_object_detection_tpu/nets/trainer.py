@@ -118,6 +118,34 @@ train_step = jax.jit(train_step_fn, donate_argnums=(0,),
                      static_argnames=("device_augment",))
 
 
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("device_augment",))
+def train_macro_step(state: TrainState, superbatch: Dict[str, jnp.ndarray],
+                     rng: jax.Array, device_augment: bool = False
+                     ) -> Tuple[TrainState, jnp.ndarray]:
+    """K micro-steps in ONE dispatch: ``lax.scan`` over the leading axis.
+
+    ``superbatch`` leaves are ``[K, B, ...]`` (K device-resident batches
+    stacked on device).  The whole accumulation cycle — K fwd+bwd passes
+    plus the ``optax.MultiSteps`` apply — compiles to a single XLA program,
+    so per-step host dispatch (~30 ms each on a tunneled runtime; a real
+    cost on any remote/attached host) is paid once per K steps instead of
+    K times (``Config.fused_accum``).  Returns the per-micro-step total
+    losses ``[K]``.  The reference dispatches eagerly per batch
+    (``train/train.py:76-92``).
+    """
+    k = superbatch["image"].shape[0]
+    rngs = jax.random.split(rng, k)
+
+    def body(s, xs):
+        b, r = xs
+        s2, losses = train_step_fn(s, b, r, device_augment=device_augment)
+        return s2, losses["total"]
+
+    state, totals = jax.lax.scan(body, state, (superbatch, rngs))
+    return state, totals
+
+
 @functools.partial(jax.jit, static_argnames=("deterministic",))
 def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray],
               rng: jax.Array, deterministic: bool = True):

@@ -15,13 +15,15 @@ import os
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 
 from two_stage_object_detection_tpu.config import Config, load_config
 from two_stage_object_detection_tpu.data.coco import load_coco
 from two_stage_object_detection_tpu.data.pipeline import DetectionDataset, Loader
 from two_stage_object_detection_tpu.eval.evaluator import evaluate_sweep
 from two_stage_object_detection_tpu.nets.trainer import (
-    create_train_state, train_step)
+    create_train_state, train_macro_step, train_step)
 from two_stage_object_detection_tpu.parallel.mesh import (
     auto_mesh, auto_mesh_spatial, place_train_state, replicate, shard_batch,
     shard_batch_spatial)
@@ -175,13 +177,36 @@ def train(visualization: bool = True, cfg: Optional[Config] = None,
         # remote runtime, docs/DESIGN.md) inside the hot loop.  The
         # scalars are fetched in one batch at epoch end for the plots.
         pending = []
+        aug = cfg.device_augment and cfg.augment
+        fused_k = (cfg.grad_accum_steps
+                   if cfg.fused_accum and cfg.grad_accum_steps > 1 else 0)
+        buf = []
         for batch in loop:
+            if fused_k:
+                # fused accumulation: stack K device batches and run the
+                # whole cycle as one lax.scan dispatch (trainer.py:
+                # train_macro_step) — K-1 fewer host roundtrips per update
+                buf.append(batch)
+                if len(buf) == fused_k:
+                    rng, step_rng = jax.random.split(rng)
+                    sb = jax.tree_util.tree_map(
+                        lambda *xs: jnp.stack(xs), *buf)
+                    buf = []
+                    state, totals = train_macro_step(state, sb, step_rng,
+                                                     device_augment=aug)
+                    pending.append(totals)
+                continue
             rng, step_rng = jax.random.split(rng)
-            state, losses = train_step(
-                state, batch, step_rng,
-                device_augment=cfg.device_augment and cfg.augment)
+            state, losses = train_step(state, batch, step_rng,
+                                       device_augment=aug)
             pending.append(losses["total"])
-        train_loss.extend(float(v) for v in jax.device_get(pending))
+        for batch in buf:      # leftover partial cycle: eager per-batch
+            rng, step_rng = jax.random.split(rng)
+            state, losses = train_step(state, batch, step_rng,
+                                       device_augment=aug)
+            pending.append(losses["total"])
+        train_loss.extend(float(v) for arr in jax.device_get(pending)
+                          for v in np.atleast_1d(arr))
 
         if epoch % eval_period == 0:
             sweep = evaluate_sweep(state, lambda: iter(eval_loader), cfg)
