@@ -146,12 +146,15 @@ class Config:
     # (measured 2.0ms vs 5.0ms for the Pallas kernel, 128 rois @ 38x38x512),
     # so the Pallas variant is opt-in
     pallas_roi: bool = False
-    # RoI max-pool backward: "structured" (hand-written VJP, same values and
-    # tie semantics as XLA autodiff but reduce-fusable — 32 vs 49 ms at
-    # train scale), "xla" autodiff, or "pallas" (roi_pool_fast — bounded
-    # VMEM where XLA's transposed reduce can materialise a [R,P,H,W,C]
-    # broadcast; use if training OOMs)
-    roi_bwd: str = "structured"
+    # RoI max-pool backward: "xla" autodiff (default), "structured"
+    # (hand-written VJP, same values/tie semantics), or "pallas"
+    # (roi_pool_fast — bounded VMEM where XLA's transposed reduce can
+    # materialise a [R,P,H,W,C] broadcast; use if training OOMs).
+    # Round 2's structured VJP beat autodiff (274 vs 296 ms/step) only
+    # because it gave tied maxima the FULL cotangent; with the round-3
+    # tie-count normalization (correct semantics) it measures 316 vs
+    # autodiff's 295.8, so autodiff is the default again
+    roi_bwd: str = "xla"
     # rematerialise HarDBlocks in the backward pass (jax.checkpoint): trades
     # one extra block forward for the dense-concat activation memory —
     # required for train batches >16 at 600x600 on a single v5e

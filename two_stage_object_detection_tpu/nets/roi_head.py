@@ -32,7 +32,7 @@ class RoIHead(nn.Module):
     roi_size: int = 7
     pool_mode: str = "pool"           # "pool" (reference parity) | "align" | "mean"
     use_pallas: bool = False          # pallas RoI-pool forward kernel
-    roi_bwd: str = "structured"       # "structured" | "xla" | "pallas" (see Config)
+    roi_bwd: str = "xla"              # "xla" | "structured" | "pallas" (see Config)
     dtype: Any = jnp.float32
 
     @nn.compact
