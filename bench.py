@@ -428,6 +428,44 @@ def bench_serve(batches=(1, 2, 4, 8, 16)):
             "latency_ms_b1": curve["1"]["ms_per_batch"]}
 
 
+def bench_int8(batch=16):
+    """Batched inference, bf16 vs int8-quantized (quantize.py), per
+    backbone.  v5e's MXU is 2x peak in int8 and int8 activations halve
+    HBM traffic; scripts/ablate_int8.py measured 1.4-2.4x per dense
+    conv on ResNet shapes.  This records the end-to-end effect."""
+    from two_stage_object_detection_tpu.config import Config
+    from two_stage_object_detection_tpu.quantize import calibrate, quantized
+
+    out = {}
+    for name in ("resnet34", "resnet50", "hardnet39s", "hardnet39"):
+        cfg = Config().replace(backbone=name)
+        model, variables = _model_and_vars(cfg)
+        images = jax.random.uniform(jax.random.PRNGKey(1),
+                                    (batch, *cfg.input_size, 3), jnp.float32)
+        scales = calibrate(model, variables, [images], method="predict")
+        qapply = quantized(model.apply, scales)
+
+        def step_bf16(variables, images, carry):
+            out = model.apply(variables, images + carry, method="predict")
+            return jnp.sum(out[1])
+
+        def step_int8(variables, images, carry):
+            out = qapply(variables, images + carry, method="predict")
+            return jnp.sum(out[1])
+
+        t_bf = scan_time(step_bf16, variables, images)
+        t_i8 = scan_time(step_int8, variables, images)
+        log(f"int8 {name}: bf16 {t_bf*1e3:.1f} ms | int8 {t_i8*1e3:.1f} ms "
+            f"({t_bf/t_i8:.2f}x) -> {batch/t_i8:.1f} img/s")
+        out[name] = {"bf16_ms": round(t_bf * 1e3, 2),
+                     "int8_ms": round(t_i8 * 1e3, 2),
+                     "speedup": round(t_bf / t_i8, 2),
+                     "images_per_sec": round(batch / t_i8, 2)}
+    best = max(out.values(), key=lambda v: v["images_per_sec"])
+    return {"batch": batch, "images_per_sec": best["images_per_sec"],
+            "variants": out}
+
+
 def bench_train_backbones(batch=16):
     """train16 across backbone variants (round-2 verdict weak #2: the
     "matching-or-beating" training story needs the ResNet rows — their
@@ -446,7 +484,7 @@ def bench_train_backbones(batch=16):
 
 VALID_CONFIGS = ("batched16", "single1", "resnet50", "rpn8", "train16",
                  "train_fast", "trainloop16", "pipeline", "serve",
-                 "backbones", "train_backbones", "all")
+                 "backbones", "train_backbones", "int8", "all")
 # "all" = the BASELINE measurement matrix; the 7-way backbone sweep is
 # extra-credit breadth, selected explicitly
 ALL_SET = ("batched16", "single1", "resnet50", "rpn8", "train16",
@@ -521,6 +559,8 @@ def main():
         results["backbones"] = bench_backbones()
     if "train_backbones" in sel:
         results["train_backbones"] = bench_train_backbones()
+    if "int8" in sel:
+        results["int8"] = bench_int8()
 
     if results:
         merge_details(results)
