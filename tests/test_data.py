@@ -190,3 +190,29 @@ def test_loader_process_mode(synth):
         loader.close()
     assert e0.shape == e1.shape
     assert not np.array_equal(e0, e1), "augmentation must vary by epoch"
+
+
+def test_loader_multihost_sharding(synth):
+    """shard_count/shard_index: disjoint strided slices of one global
+    order that together cover each epoch exactly once (multi-host input
+    feeding; train() passes jax.process_count()/process_index())."""
+    ann, img_dir = synth
+    index = load_coco(ann, img_dir)
+    ds = DetectionDataset(index, input_size=(32, 32), max_gt=5, train=False)
+    shards = [Loader(ds, batch_size=2, shuffle=True, num_workers=1, seed=7,
+                     shard_count=2, shard_index=i) for i in range(2)]
+    orders = [ld._epoch_order() for ld in shards]
+    union = np.concatenate(orders)
+    assert len(set(union.tolist())) == len(ds)          # full coverage
+    assert not set(orders[0]) & set(orders[1])          # disjoint
+    # both hosts derive the same global order: interleave reconstructs it
+    full = Loader(ds, batch_size=2, shuffle=True, num_workers=1,
+                  seed=7)._epoch_order()
+    np.testing.assert_array_equal(full[0::2], orders[0])
+    np.testing.assert_array_equal(full[1::2], orders[1])
+    # per-shard batching works end to end
+    batches = list(shards[0])
+    assert len(batches) == len(shards[0])
+    assert batches[0]["image"].shape == (2, 32, 32, 3)
+    with pytest.raises(ValueError):
+        Loader(ds, batch_size=2, shard_count=2, shard_index=2)

@@ -192,6 +192,14 @@ class Loader:
     processes, ``dataset/dataloader.py:63-74``; sidesteps the GIL when
     Python-side augmentation dominates).  ``persistent_workers`` keeps the
     pool alive across epochs (reference ``configs/config.json``).
+
+    ``shard_count``/``shard_index``: multi-host input sharding.  Every
+    process shuffles the SAME global order (seeded by epoch) and takes a
+    disjoint strided slice, so across hosts each epoch covers the dataset
+    exactly once with no coordination traffic — the standard JAX
+    per-process feeding pattern (each host loads its local shard of the
+    globally-sharded batch; pass ``jax.process_count()`` /
+    ``jax.process_index()`` on a multi-host slice).
     """
 
     def __init__(self, dataset: DetectionDataset, batch_size: int,
@@ -199,7 +207,11 @@ class Loader:
                  prefetch: int = 2, seed: int = 0,
                  device_put: Optional[Callable] = None,
                  worker_mode: str = "thread",
-                 persistent_workers: bool = True):
+                 persistent_workers: bool = True,
+                 shard_count: int = 1, shard_index: int = 0):
+        if not 0 <= shard_index < shard_count:
+            raise ValueError(f"shard_index {shard_index} out of range for "
+                             f"shard_count {shard_count}")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -211,6 +223,8 @@ class Loader:
         assert worker_mode in ("thread", "process"), worker_mode
         self.worker_mode = worker_mode
         self.persistent_workers = persistent_workers
+        self.shard_count = shard_count
+        self.shard_index = shard_index
         self._pool = None
 
     def _make_pool(self):
@@ -245,15 +259,19 @@ class Loader:
             pass
 
     def __len__(self):
-        return len(self.dataset) // self.batch_size if len(self.dataset) >= self.batch_size else 1
+        n_shard = len(range(self.shard_index, len(self.dataset),
+                            self.shard_count))
+        return max(n_shard // self.batch_size, 1)
 
     def _epoch_order(self):
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
             np.random.RandomState(self.seed + self.epoch).shuffle(order)
+        # disjoint strided slice of the same global order on every host
+        order = order[self.shard_index::self.shard_count]
         # repeat to fill at least one full batch
-        if n < self.batch_size:
+        if len(order) < self.batch_size:
             order = np.resize(order, self.batch_size)
         return order
 

@@ -83,11 +83,20 @@ def _conv_path(module: nn.Module) -> str:
 
 
 def _is_eligible(module: nn.Module) -> bool:
-    """Dense 2-D convs only — depthwise/grouped measure <1x in int8."""
+    """Dense 2-D convs only — depthwise/grouped measure <1x in int8.
+
+    Conv options the quantized path does not reproduce (input dilation,
+    kernel masks, circular/causal padding) fall back to float rather
+    than silently mis-computing.
+    """
     return (isinstance(module, nn.Conv)
             and module.feature_group_count == 1
             and module.has_variable("params", "kernel")
-            and module.get_variable("params", "kernel").ndim == 4)
+            and module.get_variable("params", "kernel").ndim == 4
+            and _norm2(module.input_dilation) == (1, 1)
+            and getattr(module, "mask", None) is None
+            and (not isinstance(module.padding, str)
+                 or module.padding in ("SAME", "VALID", "SAME_LOWER")))
 
 
 def _norm2(v, default=1):

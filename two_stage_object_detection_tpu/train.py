@@ -61,12 +61,16 @@ def build_loaders(cfg: Config, data_root: str = "data", device_put=None):
                                uint8_images=cfg.transfer_uint8)
     # device_put in the producer thread overlaps host->device transfer of
     # batch k+1 with step k (the reference's pinned-memory double buffering)
+    # on a multi-host slice each process feeds a disjoint shard of every
+    # epoch (same seeded global order everywhere, no coordination traffic)
     mk = lambda ds, sh: Loader(ds, cfg.batch_size, shuffle=sh,
                                num_workers=cfg.num_workers,
                                prefetch=cfg.prefetch_factor,
                                device_put=device_put or jax.device_put,
                                worker_mode=cfg.worker_mode,
-                               persistent_workers=cfg.persistent_workers)
+                               persistent_workers=cfg.persistent_workers,
+                               shard_count=jax.process_count(),
+                               shard_index=jax.process_index())
     return mk(train_ds, True), mk(eval_ds, False), eval_idx
 
 
