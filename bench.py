@@ -311,17 +311,48 @@ def bench_trainloop(batch=16, steps=24):
                  transfer_uint8=os.environ.get("BENCH_U8", "") == "1",
                  **over)
     root = _bench_data_root()
-    loader = _loader(cfg, root, device_put=jax.device_put)
-    if cfg.cache_decoded:     # prime: measure the cached steady state
-        for _ in loader:
-            pass
+    if os.environ.get("BENCH_HBM", "") == "1":
+        # HBM-resident dataset: decode once, on-device gather per batch —
+        # the host and the wire leave the steady-state loop entirely
+        from two_stage_object_detection_tpu.data.device_cache import (
+            DeviceDatasetCache)
+        cfg = cfg.replace(device_augment=True, transfer_uint8=True)
+        stream = _loader(cfg, root)
+        t0 = time.perf_counter()
+        loader = DeviceDatasetCache(stream.dataset, batch,
+                                    num_workers=cfg.num_workers)
+        log(f"  HBM cache build: {time.perf_counter() - t0:.1f}s "
+            f"({loader.n} images, {loader.nbytes / 1e6:.0f} MB resident)")
+    else:
+        loader = _loader(cfg, root, device_put=jax.device_put)
+        if cfg.cache_decoded:     # prime: measure the cached steady state
+            for _ in loader:
+                pass
     _, state = create_train_state(cfg, jax.random.PRNGKey(0),
                                   init_image_size=(64, 64))
     rng = jax.random.PRNGKey(2)
 
     fused_k = cfg.grad_accum_steps if cfg.fused_accum else 0
+    resident = os.environ.get("BENCH_HBM", "") == "1" and fused_k
+
+    def run_resident(state, n):
+        from two_stage_object_detection_tpu.nets.trainer import (
+            train_macro_step_resident)
+        done, last, idx = 0, None, loader.epoch_indices()
+        c = 0
+        while done < n:
+            if c + fused_k > len(idx):
+                idx, c = loader.epoch_indices(), 0
+            state, totals = train_macro_step_resident(
+                state, loader.data, jnp.asarray(idx[c:c + fused_k]), rng,
+                device_augment=cfg.device_augment)
+            last, c, done = totals, c + fused_k, done + fused_k
+        jax.device_get(last)
+        return state
 
     def run(state, n):
+        if resident:
+            return run_resident(state, n)
         it, done, last = iter(loader), 0, None
         buf = []
         while done < n:
@@ -368,7 +399,9 @@ def bench_trainloop(batch=16, steps=24):
             "fused_accum": cfg.fused_accum,
             "grad_accum_steps": cfg.grad_accum_steps,
             "backbone": cfg.backbone, "roi_pool_mode": cfg.roi_pool_mode,
-            "includes": "host decode(+augment)+device_put+full train step"}
+            "includes": ("HBM-resident gather+full train step (host/wire-free)"
+                         if os.environ.get("BENCH_HBM") == "1" else
+                         "host decode(+augment)+device_put+full train step")}
 
 
 def bench_backbones(batch=16):
@@ -545,6 +578,8 @@ def main():
         suffix += "_u8"
     if os.environ.get("BENCH_FUSED") == "1":
         suffix += "_fusedacc"
+    if os.environ.get("BENCH_HBM") == "1":
+        suffix += "_hbm"
     if os.environ.get("BENCH_BACKBONE") or os.environ.get("BENCH_ROI"):
         suffix += "_fast"
     if "pipeline" in sel:

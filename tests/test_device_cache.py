@@ -1,0 +1,163 @@
+"""HBM-resident dataset cache (data/device_cache.py).
+
+The reference streams every epoch through 12 decode workers and a PCIe
+copy per batch (dataset/dataloader.py:33-48,63-74); the cache pins the
+decoded shard on device and gathers batches at HBM bandwidth.  These tests
+pin the contract: pixel-exact vs the streaming decode path, full per-epoch
+coverage with fresh shuffles, multi-host shard disjointness, the residency
+gate, and a train step fed straight from the cache.
+"""
+
+import numpy as np
+import pytest
+
+from two_stage_object_detection_tpu.data.coco import load_coco
+from two_stage_object_detection_tpu.data.device_cache import DeviceDatasetCache
+from two_stage_object_detection_tpu.data.pipeline import DetectionDataset
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    from two_stage_object_detection_tpu.data.synthetic import (
+        generate_synthetic_coco)
+    root = tmp_path_factory.mktemp("coco_hbm")
+    ann, img_dir = generate_synthetic_coco(
+        str(root), split="train2017", num_images=7, num_classes=3,
+        image_size=(48, 48), seed=11)
+    return ann, img_dir
+
+
+def _dataset(synth, **kw):
+    ann, img_dir = synth
+    index = load_coco(ann, img_dir)
+    kw.setdefault("decode_only", True)
+    kw.setdefault("uint8_images", True)
+    return DetectionDataset(index, input_size=(32, 32), max_gt=5,
+                            train=True, **kw)
+
+
+def test_requires_decode_only(synth):
+    ds = _dataset(synth, decode_only=False)
+    with pytest.raises(ValueError, match="decode_only"):
+        DeviceDatasetCache(ds, batch_size=2)
+
+
+def test_residency_gate(synth):
+    ds = _dataset(synth)
+    with pytest.raises(MemoryError, match="resident"):
+        DeviceDatasetCache(ds, batch_size=2, max_bytes=1000)
+
+
+def test_batches_match_streaming_decode(synth):
+    """Cached batches are pixel/box/label-exact vs dataset.get()."""
+    ds = _dataset(synth)
+    cache = DeviceDatasetCache(ds, batch_size=2, shuffle=False, seed=3)
+    got = {}
+    for b, batch in enumerate(cache):
+        arrs = {k: np.asarray(v) for k, v in batch.items()}
+        assert arrs["image"].dtype == np.uint8
+        assert arrs["image"].shape == (2, 32, 32, 3)
+        for j in range(2):
+            got[2 * b + j] = {k: v[j] for k, v in arrs.items()}
+    for i in range(len(cache) * 2):
+        ref = ds.get(i, 0)
+        for k in ref:
+            np.testing.assert_array_equal(got[i][k], ref[k], err_msg=k)
+
+
+def test_epoch_coverage_and_fresh_shuffle(synth):
+    ds = _dataset(synth)
+    cache = DeviceDatasetCache(ds, batch_size=3, shuffle=True, seed=0)
+    # identify samples by their (deterministic) first pixel row
+    sig = {i: bytes(np.asarray(ds.get(i, 0)["image"][0, :, 0])) for i in
+           range(len(ds))}
+    inv = {v: k for k, v in sig.items()}
+    assert len(inv) == len(ds), "fixture images must be distinguishable"
+
+    def epoch_ids():
+        ids = []
+        for batch in cache:
+            for img in np.asarray(batch["image"]):
+                ids.append(inv[bytes(img[0, :, 0])])
+        return ids
+
+    e0, e1 = epoch_ids(), epoch_ids()
+    # 7 images / batch 3 -> 2 full batches of distinct samples per epoch
+    assert len(set(e0)) == len(e0) == 6
+    assert e0 != e1, "shuffle must differ across epochs"
+    assert cache.epoch == 2
+
+
+def test_multihost_shards_disjoint(synth):
+    ds = _dataset(synth)
+    shards = [DeviceDatasetCache(ds, batch_size=1, shuffle=False,
+                                 shard_count=2, shard_index=i)
+              for i in range(2)]
+    assert shards[0].n + shards[1].n == len(ds)
+    a = np.asarray(shards[0]._data["boxes"])
+    b = np.asarray(shards[1]._data["boxes"])
+    # strided shard contract: host i holds records i::2
+    np.testing.assert_array_equal(a[1], np.asarray(ds.get(2, 0)["boxes"]))
+    np.testing.assert_array_equal(b[1], np.asarray(ds.get(3, 0)["boxes"]))
+    with pytest.raises(ValueError):
+        DeviceDatasetCache(ds, batch_size=1, shard_count=2, shard_index=2)
+
+
+def test_resident_macro_step_matches_stacked(synth):
+    """train_macro_step_resident (gather inside the scan) == train_macro_step
+    on the pre-gathered superbatch: same params, same losses."""
+    import jax
+    import jax.numpy as jnp
+
+    from two_stage_object_detection_tpu.config import Config
+    from two_stage_object_detection_tpu.nets.trainer import (
+        create_train_state, train_macro_step, train_macro_step_resident)
+
+    cfg = Config(input_size=(32, 32), num_classes=3, batch_size=2,
+                 max_gt_boxes=5, n_train_pre_nms=32, n_train_post_nms=8,
+                 n_test_pre_nms=16, n_test_post_nms=4, roi_n_sample=4,
+                 rpn_n_sample=8, grad_accum_steps=2, fused_accum=True,
+                 compute_dtype="float32")
+    ds = _dataset(synth)
+    cache = DeviceDatasetCache(ds, batch_size=2, seed=5)
+    idx = jnp.asarray(cache.epoch_indices()[:2])          # [K=2, B=2]
+    rng = jax.random.PRNGKey(7)
+
+    _, s1 = create_train_state(cfg, jax.random.PRNGKey(0),
+                               init_image_size=(32, 32))
+    _, s2 = create_train_state(cfg, jax.random.PRNGKey(0),
+                               init_image_size=(32, 32))
+    s1, t1 = train_macro_step_resident(s1, cache.data, idx, rng,
+                                       device_augment=True)
+    sb = {k: jnp.take(v, idx.reshape(-1), axis=0).reshape(
+              2, 2, *v.shape[1:]) for k, v in cache.data.items()}
+    s2, t2 = train_macro_step(s2, sb, rng, device_augment=True)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-5, atol=1e-6),
+        s1.params, s2.params)
+
+
+def test_train_step_from_cache(synth):
+    """One device-augmented train step straight off the cache: finite loss."""
+    import jax
+
+    from two_stage_object_detection_tpu.config import Config
+    from two_stage_object_detection_tpu.nets.trainer import (
+        create_train_state, train_step)
+
+    cfg = Config(input_size=(32, 32), num_classes=3, batch_size=2,
+                 max_gt_boxes=5, n_train_pre_nms=32, n_train_post_nms=8,
+                 n_test_pre_nms=16, n_test_post_nms=4, roi_n_sample=4,
+                 rpn_n_sample=8, grad_accum_steps=1,
+                 compute_dtype="float32", device_augment=True,
+                 transfer_uint8=True, cache_device=True)
+    ds = _dataset(synth)
+    cache = DeviceDatasetCache(ds, batch_size=2, seed=1)
+    _, state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                  init_image_size=(32, 32))
+    batch = next(iter(cache))
+    state, losses = train_step(state, batch, jax.random.PRNGKey(1),
+                               device_augment=True)
+    assert np.isfinite(float(losses["total"]))

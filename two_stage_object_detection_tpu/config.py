@@ -122,6 +122,13 @@ class Config:
     # cache_max_bytes — see data/pipeline.py:DetectionDataset
     cache_decoded: bool = False
     cache_max_bytes: int = 4 << 30
+    # pin the whole (per-host shard of the) training set in HBM as u8 and
+    # build batches with an on-device gather — the host and the wire leave
+    # the steady-state loop entirely (data/device_cache.py).  Requires
+    # device_augment; falls back to the streaming Loader with a warning if
+    # the shard exceeds cache_device_max_bytes
+    cache_device: bool = False
+    cache_device_max_bytes: int = 8 << 30
     # ship pixels host->device as u8 and convert to f32 on device — 4x less
     # host->device traffic (69 -> 17 MB at batch 16, 600x600), <=1/510
     # per-pixel quantisation; the decisive factor on transfer-limited hosts

@@ -164,6 +164,25 @@ class DetectionDataset:
                 "labels": out_labels, "valid": out_valid}
 
 
+def epoch_order(n: int, epoch: int, seed: int, shuffle: bool,
+                shard_count: int = 1, shard_index: int = 0,
+                min_len: int = 1) -> np.ndarray:
+    """Deterministic per-epoch sample order, shared by :class:`Loader` and
+    :class:`~.device_cache.DeviceDatasetCache`.
+
+    Every host shuffles the SAME seeded global permutation and takes a
+    disjoint strided slice, so across ``shard_count`` processes each epoch
+    covers the dataset exactly once with no coordination traffic.  Short
+    orders are tiled up to ``min_len`` (one full batch)."""
+    order = np.arange(n)
+    if shuffle:
+        np.random.RandomState(seed + epoch).shuffle(order)
+    order = order[shard_index::shard_count]
+    if len(order) < min_len:
+        order = np.resize(order, min_len)
+    return order
+
+
 # Process-pool worker state: the dataset is shipped once per worker via the
 # pool initializer (fork is cheap on Linux; children only run numpy/PIL/C++
 # decode, never jax).
@@ -264,16 +283,9 @@ class Loader:
         return max(n_shard // self.batch_size, 1)
 
     def _epoch_order(self):
-        n = len(self.dataset)
-        order = np.arange(n)
-        if self.shuffle:
-            np.random.RandomState(self.seed + self.epoch).shuffle(order)
-        # disjoint strided slice of the same global order on every host
-        order = order[self.shard_index::self.shard_count]
-        # repeat to fill at least one full batch
-        if len(order) < self.batch_size:
-            order = np.resize(order, self.batch_size)
-        return order
+        return epoch_order(len(self.dataset), self.epoch, self.seed,
+                           self.shuffle, self.shard_count, self.shard_index,
+                           min_len=self.batch_size)
 
     def __iter__(self) -> Iterator[dict]:
         order = self._epoch_order()

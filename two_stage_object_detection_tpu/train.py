@@ -23,7 +23,8 @@ from two_stage_object_detection_tpu.data.coco import load_coco
 from two_stage_object_detection_tpu.data.pipeline import DetectionDataset, Loader
 from two_stage_object_detection_tpu.eval.evaluator import evaluate_sweep
 from two_stage_object_detection_tpu.nets.trainer import (
-    create_train_state, train_macro_step, train_step)
+    create_train_state, train_macro_step, train_macro_step_resident,
+    train_step)
 from two_stage_object_detection_tpu.parallel.mesh import (
     auto_mesh, auto_mesh_spatial, place_train_state, replicate, shard_batch,
     shard_batch_spatial)
@@ -71,6 +72,26 @@ def build_loaders(cfg: Config, data_root: str = "data", device_put=None):
                                persistent_workers=cfg.persistent_workers,
                                shard_count=jax.process_count(),
                                shard_index=jax.process_index())
+    if cfg.cache_device:
+        # HBM-resident datasets: decode once, gather batches on device —
+        # host + wire leave the steady-state loop (data/device_cache.py)
+        if not cfg.device_augment:
+            raise ValueError("cache_device=True requires device_augment=True "
+                             "(the cache is epoch-invariant; augmentation "
+                             "must run on device)")
+        from two_stage_object_detection_tpu.data.device_cache import (
+            DeviceDatasetCache)
+        mk_cached = lambda ds, sh: DeviceDatasetCache(
+            ds, cfg.batch_size, shuffle=sh,
+            seed=0, shard_count=jax.process_count(),
+            shard_index=jax.process_index(),
+            max_bytes=cfg.cache_device_max_bytes,
+            num_workers=cfg.num_workers, device_put=device_put)
+        try:
+            return mk_cached(train_ds, True), mk_cached(eval_ds, False), eval_idx
+        except MemoryError as e:
+            log.warning("cache_device: %s — falling back to streaming Loader",
+                        e)
     return mk(train_ds, True), mk(eval_ds, False), eval_idx
 
 
@@ -173,9 +194,31 @@ def train(visualization: bool = True, cfg: Optional[Config] = None,
     train_loss, eval_loss = [], []
     mAP50_list, mAP50_95_list, mAP95_list = [], [], []
 
+    def _eval_and_checkpoint():
+        nonlocal min_eval_loss
+        sweep = evaluate_sweep(state, lambda: iter(eval_loader), cfg)
+        mAP50_list.append(sweep["mAP50"])
+        mAP95_list.append(sweep["mAP95"])
+        mAP50_95_list.append(sweep["mAP50_95"])
+        eval_loss.append(sweep["eval_loss"])
+        if sweep["eval_loss"] < min_eval_loss:
+            min_eval_loss = sweep["eval_loss"]
+            ckpt.save_checkpoint(weights_dir, state, name=ckpt.BEST)
+            log.info("✅ Best model saved to %s", weights_dir)
+        log.info("eval: mAP_50%%: %.4f, mAP_50%%_95%%: %.4f, mAP_95%%: %.4f",
+                 sweep["mAP50"], sweep["mAP50_95"], sweep["mAP95"])
+        # periodic full-state save so ``resume=True`` can recover a
+        # crashed/preempted run (the reference writes _last only at
+        # the very end, train/train.py:136-143); the sidecar carries
+        # the global-best eval loss across the restart
+        ckpt.save_checkpoint(weights_dir, state, name=ckpt.LAST)
+        with open(meta_path, "w") as f:
+            json.dump({"min_eval_loss": min_eval_loss}, f)
+
+    from two_stage_object_detection_tpu.data.device_cache import (
+        DeviceDatasetCache)
+
     for epoch in range(start_epoch, cfg.num_epochs):
-        loop = tqdm(train_loader, total=steps_per_epoch,
-                    desc=f"Epoch {epoch + 1}/{cfg.num_epochs}", colour="green")
         # losses stay device-side during the epoch: a per-step float()
         # would force a blocking device->host roundtrip (~30 ms on a
         # remote runtime, docs/DESIGN.md) inside the hot loop.  The
@@ -184,6 +227,36 @@ def train(visualization: bool = True, cfg: Optional[Config] = None,
         aug = cfg.device_augment and cfg.augment
         fused_k = (cfg.grad_accum_steps
                    if cfg.fused_accum and cfg.grad_accum_steps > 1 else 0)
+        resident = (fused_k and isinstance(train_loader, DeviceDatasetCache)
+                    and train_loader.device_put is None)
+        if resident:
+            # HBM-resident fast path: the scan gathers each micro-batch
+            # from the pinned dataset, so one accumulation cycle = one
+            # dispatch carrying only a [K,B] index array
+            idx = train_loader.epoch_indices()
+            whole = len(idx) - len(idx) % fused_k
+            for c in tqdm(range(0, whole, fused_k),
+                          desc=f"Epoch {epoch + 1}/{cfg.num_epochs}",
+                          colour="green"):
+                rng, step_rng = jax.random.split(rng)
+                state, totals = train_macro_step_resident(
+                    state, train_loader.data, jnp.asarray(idx[c:c + fused_k]),
+                    step_rng, device_augment=aug)
+                pending.append(totals)
+            for sel in idx[whole:]:     # leftover partial cycle: eager
+                rng, step_rng = jax.random.split(rng)
+                batch = {k: jnp.take(v, jnp.asarray(sel), axis=0)
+                         for k, v in train_loader.data.items()}
+                state, losses = train_step(state, batch, step_rng,
+                                           device_augment=aug)
+                pending.append(losses["total"])
+            train_loss.extend(float(v) for arr in jax.device_get(pending)
+                              for v in np.atleast_1d(arr))
+            if epoch % eval_period == 0:
+                _eval_and_checkpoint()
+            continue
+        loop = tqdm(train_loader, total=steps_per_epoch,
+                    desc=f"Epoch {epoch + 1}/{cfg.num_epochs}", colour="green")
         buf = []
         for batch in loop:
             if fused_k:
@@ -213,24 +286,7 @@ def train(visualization: bool = True, cfg: Optional[Config] = None,
                           for v in np.atleast_1d(arr))
 
         if epoch % eval_period == 0:
-            sweep = evaluate_sweep(state, lambda: iter(eval_loader), cfg)
-            mAP50_list.append(sweep["mAP50"])
-            mAP95_list.append(sweep["mAP95"])
-            mAP50_95_list.append(sweep["mAP50_95"])
-            eval_loss.append(sweep["eval_loss"])
-            if sweep["eval_loss"] < min_eval_loss:
-                min_eval_loss = sweep["eval_loss"]
-                ckpt.save_checkpoint(weights_dir, state, name=ckpt.BEST)
-                log.info("✅ Best model saved to %s", weights_dir)
-            log.info("eval: mAP_50%%: %.4f, mAP_50%%_95%%: %.4f, mAP_95%%: %.4f",
-                     sweep["mAP50"], sweep["mAP50_95"], sweep["mAP95"])
-            # periodic full-state save so ``resume=True`` can recover a
-            # crashed/preempted run (the reference writes _last only at
-            # the very end, train/train.py:136-143); the sidecar carries
-            # the global-best eval loss across the restart
-            ckpt.save_checkpoint(weights_dir, state, name=ckpt.LAST)
-            with open(meta_path, "w") as f:
-                json.dump({"min_eval_loss": min_eval_loss}, f)
+            _eval_and_checkpoint()
 
     ckpt.save_checkpoint(weights_dir, state, name=ckpt.LAST)
     log.info("✅ Last model saved to %s", weights_dir)
