@@ -66,6 +66,29 @@ def test_scale_jitter_identity_branch(rng):
     assert hit
 
 
+def test_scale_jitter_matrix_matches_two_pass_resize(rng):
+    """The precomputed M_s = R(m->n) @ R(n->m) matrix form must reproduce
+    the explicit resize(n->m)->resize(m->n) composition for every scale
+    (linearity of antialiased linear resize)."""
+    from two_stage_object_detection_tpu.data.device_transforms import (
+        SCALES, _jitter_matrices)
+    h = w = 30
+    img = jnp.asarray(rng.rand(h, w, 3), jnp.float32)
+    mh = _jitter_matrices(h, SCALES)
+    for si, s in enumerate(SCALES):
+        m = max(int(h * s), 8)
+        if m == h:
+            ref = img
+        else:
+            mid = jax.image.resize(img, (m, max(int(w * s), 8), 3),
+                                   "linear", antialias=True)
+            ref = jax.image.resize(mid, (h, w, 3), "linear", antialias=True)
+        got = jnp.einsum("ij,jwc->iwc", mh[si], img)
+        got = jnp.einsum("kw,hwc->hkc", mh[si], got)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, err_msg=f"scale {s}")
+
+
 def test_decode_only_dataset(tmp_path, rng):
     from two_stage_object_detection_tpu.data.coco import load_coco
     from two_stage_object_detection_tpu.data.pipeline import DetectionDataset

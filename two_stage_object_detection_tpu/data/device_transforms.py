@@ -69,22 +69,51 @@ def _hflip(img: jnp.ndarray, boxes: jnp.ndarray, key: jax.Array):
     return img, boxes
 
 
+@functools.lru_cache(maxsize=None)
+def _jitter_matrices(n: int, scales: Tuple[float, ...]) -> "jnp.ndarray":
+    """``[S, n, n]`` resample-through-scale-s matrices for one image axis.
+
+    ``resize(n -> m -> n)`` with antialiased linear filters is a linear
+    operator, so the whole round trip collapses to ONE precomputed matrix
+    ``M_s = R(m->n) @ R(n->m)`` per scale.  The matrices are extracted by
+    resizing identity (resize is separable, so resizing only axis 0 of
+    ``I_n`` to ``m`` rows yields exactly ``R(n->m)``).  Applying the jitter
+    is then two matmuls per image — MXU work at ~2.6 GFLOP/image instead of
+    the gather-heavy two-pass resize (measured 14.6 -> ~1 ms per batch of
+    16 at 600x600).
+
+    The first call typically happens while tracing the train step, so the
+    matrices are built under ``ensure_compile_time_eval`` (otherwise the
+    lru_cache would capture tracers and leak them into later traces) and
+    cached as concrete numpy constants."""
+    import numpy as np
+
+    with jax.ensure_compile_time_eval():
+        mats = []
+        for s in scales:
+            m = max(int(n * s), 8)
+            if m == n:
+                mats.append(jnp.eye(n, dtype=jnp.float32))
+                continue
+            down = jax.image.resize(jnp.eye(n, dtype=jnp.float32), (m, n),
+                                    "linear", antialias=True)   # R(n->m)
+            up = jax.image.resize(jnp.eye(m, dtype=jnp.float32), (n, m),
+                                  "linear", antialias=True)     # R(m->n)
+            mats.append(up @ down)
+        return np.asarray(jnp.stack(mats))
+
+
 def _scale_jitter(img: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
     """Resample through a random intermediate scale (pixels only: the
     box geometry of ScaleJitter->Resize(target) cancels exactly)."""
     h, w, _ = img.shape
-
-    def branch(s):
-        def f(x):
-            if abs(s - 1.0) < 1e-6:
-                return x
-            hs, ws = max(int(h * s), 8), max(int(w * s), 8)
-            mid = jax.image.resize(x, (hs, ws, 3), "linear", antialias=True)
-            return jax.image.resize(mid, (h, w, 3), "linear", antialias=True)
-        return f
-
     idx = jax.random.randint(key, (), 0, len(SCALES))
-    return jax.lax.switch(idx, [branch(s) for s in SCALES], img)
+    mh = jnp.asarray(_jitter_matrices(h, SCALES))[idx]          # [h, h]
+    mw = jnp.asarray(_jitter_matrices(w, SCALES))[idx]          # [w, w]
+    t = jnp.einsum("ij,jwc->iwc", mh, img,
+                   preferred_element_type=jnp.float32)
+    return jnp.einsum("kw,hwc->hkc", mw, t,
+                      preferred_element_type=jnp.float32)
 
 
 def _augment_one(img: jnp.ndarray, boxes: jnp.ndarray, key: jax.Array,
