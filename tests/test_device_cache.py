@@ -139,6 +139,38 @@ def test_resident_macro_step_matches_stacked(synth):
         s1.params, s2.params)
 
 
+def test_cache_batches_reshard_under_mesh(synth):
+    """With a mesh device_put, gathered batches land sharded over 'data'
+    and a train step through the mesh stays finite (the cache itself lives
+    on one device; per-batch resharding is the multi-device contract)."""
+    import jax
+
+    from two_stage_object_detection_tpu.config import Config
+    from two_stage_object_detection_tpu.nets.trainer import (
+        create_train_state, train_step)
+    from two_stage_object_detection_tpu.parallel.mesh import (
+        make_mesh, replicate, shard_batch)
+
+    mesh = make_mesh(n_data=4, n_model=1)
+    ds = _dataset(synth)
+    cache = DeviceDatasetCache(ds, batch_size=4,
+                               device_put=lambda b: shard_batch(b, mesh))
+    cfg = Config(input_size=(32, 32), num_classes=3, batch_size=4,
+                 max_gt_boxes=5, n_train_pre_nms=32, n_train_post_nms=8,
+                 n_test_pre_nms=16, n_test_post_nms=4, roi_n_sample=4,
+                 rpn_n_sample=8, grad_accum_steps=1, compute_dtype="float32")
+    _, state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                  init_image_size=(32, 32))
+    state = replicate(state, mesh)
+    with mesh:
+        batch = next(iter(cache))
+        shard_axes = {d.data.shape[0]
+                      for d in batch["image"].addressable_shards}
+        assert shard_axes == {1}, "batch must be split over the data axis"
+        state, losses = train_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(losses["total"]))
+
+
 def test_train_step_from_cache(synth):
     """One device-augmented train step straight off the cache: finite loss."""
     import jax
