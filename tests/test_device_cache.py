@@ -171,6 +171,59 @@ def test_cache_batches_reshard_under_mesh(synth):
     assert np.isfinite(float(losses["total"]))
 
 
+def test_resident_macro_under_mesh_matches_single_device(synth):
+    """Dataset sharded over the data axis + batch-sharding constraint: the
+    resident macro step produces the same params/losses as the unsharded
+    single-device run (in-scan gathers lower to collectives, math intact)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from two_stage_object_detection_tpu.config import Config
+    from two_stage_object_detection_tpu.nets.trainer import (
+        create_train_state, train_macro_step_resident)
+    from two_stage_object_detection_tpu.parallel.mesh import (
+        make_mesh, replicate)
+
+    # freeze_bn: with live BN the cross-image batch statistics reduce
+    # across the sharded axis and SPMD reassociation (~1e-7) is amplified
+    # by the discrete NMS/argmax into different target draws — the same
+    # reasoning as test_sharding.py's full-train comparison
+    cfg = Config(input_size=(32, 32), num_classes=3, batch_size=4,
+                 max_gt_boxes=5, n_train_pre_nms=32, n_train_post_nms=8,
+                 n_test_pre_nms=16, n_test_post_nms=4, roi_n_sample=4,
+                 rpn_n_sample=8, grad_accum_steps=2, fused_accum=True,
+                 compute_dtype="float32", freeze_bn=True)
+    mesh = make_mesh(n_data=4, n_model=1)
+    ds = _dataset(synth)
+    plain = DeviceDatasetCache(ds, batch_size=4, seed=5)
+    sharded = DeviceDatasetCache(
+        ds, batch_size=4, seed=5,
+        data_sharding=NamedSharding(mesh, P("data")))
+    # 7 images pad to 8 over 4 devices; padding rows are never selected
+    assert sharded.data["image"].shape[0] == 8
+    assert plain.data["image"].shape[0] == 7
+    idx = jnp.asarray(plain.epoch_indices()[:2])
+    rng = jax.random.PRNGKey(9)
+
+    _, s1 = create_train_state(cfg, jax.random.PRNGKey(0),
+                               init_image_size=(32, 32))
+    _, s2 = create_train_state(cfg, jax.random.PRNGKey(0),
+                               init_image_size=(32, 32))
+    s2 = replicate(s2, mesh)
+    s1, t1 = train_macro_step_resident(s1, plain.data, idx, rng,
+                                       device_augment=True)
+    s2, t2 = train_macro_step_resident(
+        s2, sharded.data, idx, rng, device_augment=True,
+        batch_sharding=NamedSharding(mesh, P("data")))
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2),
+                               rtol=1e-5, atol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-4, atol=1e-5),
+        s1.params, jax.device_get(s2.params))
+
+
 def test_train_step_from_cache(synth):
     """One device-augmented train step straight off the cache: finite loss."""
     import jax

@@ -36,6 +36,18 @@ from two_stage_object_detection_tpu.data.pipeline import (
     DetectionDataset, epoch_order)
 
 
+def _axis0_divisor(sharding) -> int:
+    """Number of ways ``sharding`` splits axis 0 (1 if replicated)."""
+    spec0 = sharding.spec[0] if len(sharding.spec) else None
+    if spec0 is None:
+        return 1
+    names = spec0 if isinstance(spec0, tuple) else (spec0,)
+    d = 1
+    for nm in names:
+        d *= sharding.mesh.shape[nm]
+    return d
+
+
 class DeviceDatasetCache:
     """Drop-in Loader replacement that serves batches from HBM.
 
@@ -56,13 +68,21 @@ class DeviceDatasetCache:
     ``device_put``: optional per-batch placement callable (mesh sharding);
     the cache itself lives on the default device and gathered batches are
     resharded through it.
+
+    ``data_sharding``: optional ``NamedSharding`` for the pinned leaves
+    themselves — on a multi-device mesh the dataset shards over the
+    ``data`` axis (each chip holds N/n_data images in ITS HBM) and the
+    resident macro step's in-scan gathers become XLA collectives.  Leaves
+    are zero-padded on axis 0 to the axis divisor; padding rows are never
+    selected (``epoch_indices`` draws from the true ``n``).
     """
 
     def __init__(self, dataset: DetectionDataset, batch_size: int,
                  shuffle: bool = True, seed: int = 0,
                  shard_count: int = 1, shard_index: int = 0,
                  max_bytes: int = 8 << 30, num_workers: int = 8,
-                 device_put: Optional[Callable] = None):
+                 device_put: Optional[Callable] = None,
+                 data_sharding=None):
         if not dataset.decode_only:
             raise ValueError(
                 "DeviceDatasetCache requires decode_only=True datasets: the "
@@ -94,7 +114,18 @@ class DeviceDatasetCache:
                                               ids[1:]))
         host = {k: np.stack([s[k] for s in samples]) for k in first}
         import jax
-        self._data = {k: jax.device_put(v) for k, v in host.items()}
+        self.data_sharding = data_sharding
+        if data_sharding is not None:
+            div = _axis0_divisor(data_sharding)
+            pad = (-len(ids)) % div
+            if pad:
+                host = {k: np.concatenate(
+                    [v, np.zeros((pad, *v.shape[1:]), v.dtype)])
+                    for k, v in host.items()}
+            self._data = {k: jax.device_put(v, data_sharding)
+                          for k, v in host.items()}
+        else:
+            self._data = {k: jax.device_put(v) for k, v in host.items()}
         self.n = len(ids)
         self.nbytes = total
 

@@ -147,11 +147,12 @@ def train_macro_step(state: TrainState, superbatch: Dict[str, jnp.ndarray],
 
 
 @functools.partial(jax.jit, donate_argnums=(0,),
-                   static_argnames=("device_augment",))
+                   static_argnames=("device_augment", "batch_sharding"))
 def train_macro_step_resident(state: TrainState,
                               data: Dict[str, jnp.ndarray],
                               idx: jnp.ndarray, rng: jax.Array,
-                              device_augment: bool = False
+                              device_augment: bool = False,
+                              batch_sharding=None
                               ) -> Tuple[TrainState, jnp.ndarray]:
     """K micro-steps reading straight from an HBM-resident dataset.
 
@@ -163,6 +164,13 @@ def train_macro_step_resident(state: TrainState,
     the index array.  Per-leaf gather dispatches (4 leaves x K batches) at
     ~30 ms tunnel roundtrip each are what separated the resident loop
     (172 img/s) from the bare device step (236 img/s) before this fusion.
+
+    ``batch_sharding``: on a mesh, the pinned ``data`` leaves are sharded
+    over the ``data`` axis (each chip's HBM holds its slice of the
+    dataset); constraining each gathered micro-batch to the usual
+    batch-over-``data`` layout makes XLA lower the in-scan gather to the
+    cross-chip collective and keeps the rest of the step identical to the
+    streaming path.
     """
     k = idx.shape[0]
     rngs = jax.random.split(rng, k)
@@ -170,6 +178,9 @@ def train_macro_step_resident(state: TrainState,
     def body(s, xs):
         sel, r = xs
         b = {kk: jnp.take(v, sel, axis=0) for kk, v in data.items()}
+        if batch_sharding is not None:
+            b = {kk: jax.lax.with_sharding_constraint(v, batch_sharding)
+                 for kk, v in b.items()}
         s2, losses = train_step_fn(s, b, r, device_augment=device_augment)
         return s2, losses["total"]
 

@@ -71,6 +71,35 @@ def run_dryrun(n_devices: int) -> float:
     print(f"dryrun dp+tp: mesh={dict(mesh.shape)} loss={total:.4f} OK",
           flush=True)
 
+    # ---- HBM-resident dataset sharded over 'data' + in-scan gathers ----
+    # (data/device_cache.py + nets/trainer.py:train_macro_step_resident:
+    # each chip holds its slice of the dataset; the macro step's gathers
+    # lower to collectives)
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec
+    from two_stage_object_detection_tpu.nets.trainer import (
+        train_macro_step_resident)
+
+    n_imgs = 2 * cfg.batch_size
+    dsh = NamedSharding(mesh, PartitionSpec("data"))
+    data = {
+        "image": jax.device_put(
+            rngk.rand(n_imgs, 64, 64, 3).astype(np.float32), dsh),
+        "boxes": jax.device_put(np.tile(batch["boxes"][:1], (n_imgs, 1, 1)),
+                                dsh),
+        "labels": jax.device_put(np.zeros((n_imgs, g), np.int32), dsh),
+        "valid": jax.device_put(np.tile(batch["valid"][:1], (n_imgs, 1)),
+                                dsh),
+    }
+    idx = jnp.arange(n_imgs, dtype=jnp.int32).reshape(2, cfg.batch_size)
+    state, totals = train_macro_step_resident(
+        state, data, idx, jax.random.PRNGKey(2), device_augment=True,
+        batch_sharding=dsh)
+    totals = np.asarray(jax.device_get(totals))
+    assert np.isfinite(totals).all(), totals
+    print(f"dryrun resident: mesh={dict(mesh.shape)} "
+          f"losses={totals.round(4).tolist()} OK", flush=True)
+
     # ---- data+spatial mesh: image height over 'model' ----
     # (64-px images, stride-16 backbone: keep <=4 row shards so the 4-row
     # feature map still splits)

@@ -36,7 +36,8 @@ logging.basicConfig(level=logging.INFO)
 log = logging.getLogger(__name__)
 
 
-def build_loaders(cfg: Config, data_root: str = "data", device_put=None):
+def build_loaders(cfg: Config, data_root: str = "data", device_put=None,
+                  mesh=None, spatial: bool = False):
     """COCO loaders following the reference's path layout
     (``dataset/data_organise.py:13-15``: ``data/annotations/instances_{split}2017.json``).
 
@@ -81,12 +82,20 @@ def build_loaders(cfg: Config, data_root: str = "data", device_put=None):
                              "must run on device)")
         from two_stage_object_detection_tpu.data.device_cache import (
             DeviceDatasetCache)
+        # on a (non-spatial) mesh, pin the dataset sharded over the data
+        # axis — each chip's HBM holds its slice; the resident macro step's
+        # in-scan gathers become XLA collectives
+        data_sharding = None
+        if mesh is not None and not spatial:
+            from jax.sharding import NamedSharding, PartitionSpec
+            data_sharding = NamedSharding(mesh, PartitionSpec("data"))
         mk_cached = lambda ds, sh: DeviceDatasetCache(
             ds, cfg.batch_size, shuffle=sh,
             seed=0, shard_count=jax.process_count(),
             shard_index=jax.process_index(),
             max_bytes=cfg.cache_device_max_bytes,
-            num_workers=cfg.num_workers, device_put=device_put)
+            num_workers=cfg.num_workers, device_put=device_put,
+            data_sharding=data_sharding)
         try:
             return mk_cached(train_ds, True), mk_cached(eval_ds, False), eval_idx
         except MemoryError as e:
@@ -139,7 +148,8 @@ def train(visualization: bool = True, cfg: Optional[Config] = None,
         put = jax.device_put
 
     train_loader, eval_loader, _ = build_loaders(cfg, data_root,
-                                                 device_put=put)
+                                                 device_put=put, mesh=mesh,
+                                                 spatial=spatial)
     steps_per_epoch = max(len(train_loader), 1)
 
     rng, init_rng = jax.random.split(rng)
@@ -228,11 +238,18 @@ def train(visualization: bool = True, cfg: Optional[Config] = None,
         fused_k = (cfg.grad_accum_steps
                    if cfg.fused_accum and cfg.grad_accum_steps > 1 else 0)
         resident = (fused_k and isinstance(train_loader, DeviceDatasetCache)
-                    and train_loader.device_put is None)
+                    and (train_loader.device_put is None
+                         or train_loader.data_sharding is not None))
         if resident:
             # HBM-resident fast path: the scan gathers each micro-batch
             # from the pinned dataset, so one accumulation cycle = one
-            # dispatch carrying only a [K,B] index array
+            # dispatch carrying only a [K,B] index array.  On a mesh the
+            # dataset is sharded over 'data' and the gathered batches are
+            # constrained to the usual batch-over-data layout.
+            bsh = None
+            if train_loader.data_sharding is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                bsh = NamedSharding(mesh, PartitionSpec("data"))
             idx = train_loader.epoch_indices()
             whole = len(idx) - len(idx) % fused_k
             for c in tqdm(range(0, whole, fused_k),
@@ -241,12 +258,15 @@ def train(visualization: bool = True, cfg: Optional[Config] = None,
                 rng, step_rng = jax.random.split(rng)
                 state, totals = train_macro_step_resident(
                     state, train_loader.data, jnp.asarray(idx[c:c + fused_k]),
-                    step_rng, device_augment=aug)
+                    step_rng, device_augment=aug, batch_sharding=bsh)
                 pending.append(totals)
             for sel in idx[whole:]:     # leftover partial cycle: eager
                 rng, step_rng = jax.random.split(rng)
                 batch = {k: jnp.take(v, jnp.asarray(sel), axis=0)
                          for k, v in train_loader.data.items()}
+                if bsh is not None:
+                    batch = {k: jax.device_put(v, bsh)
+                             for k, v in batch.items()}
                 state, losses = train_step(state, batch, step_rng,
                                            device_augment=aug)
                 pending.append(losses["total"])
