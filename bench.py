@@ -425,7 +425,7 @@ def bench_backbones(batch=16):
             out["hardnet39"]["images_per_sec"], "variants": out}
 
 
-def bench_serve(batches=(1, 2, 4, 8, 16)):
+def bench_serve(batches=(1, 2, 4, 8, 16, 32, 64)):
     """Serving latency/throughput curve: steady-state ms/batch per bucket.
 
     The bucket set mirrors :class:`serving.Predictor`'s AOT-compiled batch
