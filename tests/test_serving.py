@@ -70,6 +70,35 @@ def test_predictor_plan_largest_first(served):
     assert pred._plan(1) == (1,)
 
 
+def test_predictor_measured_cost_routing(served, rng):
+    """calibrate=True: the plan routes by measured per-bucket latency —
+    when b=2 measures faster than b=1 (real on v5e hardnet39s), a 1-image
+    request pads into the 2-bucket; results stay correct through padding."""
+    cfg, state = served
+    pred = Predictor(cfg, state.params, state.batch_stats,
+                     batch_sizes=(1, 2), calibrate=True)
+    assert set(pred._bucket_ms) == {1, 2}
+    assert all(v > 0 for v in pred._bucket_ms.values())
+    # pin the measured table both ways (hardware-independent assertions)
+    Predictor._plan.cache_clear()
+    pred._bucket_ms = {1: 11.8, 2: 7.8}
+    assert pred._plan(1) == (2,)
+    assert sorted(pred._plan(3)) == [2, 2]
+    Predictor._plan.cache_clear()
+    pred._bucket_ms = {1: 3.0, 2: 7.8}
+    assert pred._plan(1) == (1,)
+    # correctness through the padded route
+    Predictor._plan.cache_clear()
+    pred._bucket_ms = {1: 11.8, 2: 7.8}
+    imgs = rng.rand(1, *cfg.input_size, 3).astype(np.float32)
+    out = pred(imgs)
+    from two_stage_object_detection_tpu.nets.trainer import predict_step
+    want = jax.device_get(predict_step(state, jnp.asarray(imgs)))
+    np.testing.assert_allclose(out["boxes"], np.asarray(want[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(out["valid"], np.asarray(want[3]))
+
+
 @pytest.mark.slow
 def test_predictor_chunked_9_matches(served, rng):
     """End-to-end: a 9-image request over (1, 4) buckets returns the same

@@ -72,12 +72,18 @@ class Predictor:
       int8_scales: per-conv activation absmax from
         :func:`quantize.calibrate`; when given, the listed dense convs
         compile to int8 MXU ops (measured 1.4-2.4x on ResNet shapes).
+      calibrate: time each AOT bucket once after compiling and route
+        requests by *measured* per-bucket latency instead of the
+        cost-proportional-to-size heuristic.  Bucket cost is not monotone
+        in size (hardnet39s b=2 measures 7.8 ms vs b=1's 11.8 on v5e), so
+        calibration lets e.g. single-image requests pad into a
+        faster larger bucket automatically.
     """
 
     def __init__(self, cfg: Config, params, batch_stats,
                  batch_sizes: Sequence[int] = (1, 8, 16),
                  mesh=None, spatial: bool = False, dtype=jnp.float32,
-                 int8_scales=None):
+                 int8_scales=None, calibrate: bool = False):
         self.cfg = cfg
         self.batch_sizes = tuple(sorted(set(int(b) for b in batch_sizes)))
         if not self.batch_sizes:
@@ -127,6 +133,27 @@ class Predictor:
                 self._shardings[b] = sh
             self._compiled[b] = jitted.lower(p_spec, s_spec, img_spec).compile()
 
+        # measured per-bucket latency: bucket cost is NOT proportional to
+        # size (measured v5e hardnet39s: b=2 runs 7.8 ms vs b=1's 11.8 —
+        # batch-1 conv layouts can be degenerate — while the hardnet39
+        # flagship orders the other way).  calibrate=True times each
+        # AOT-compiled bucket once (negligible next to the compiles) and
+        # the chunking plan then routes by real cost, e.g. single-image
+        # requests pad to a faster larger bucket when that measures faster.
+        self._bucket_ms = None
+        if calibrate:
+            import time as _time
+            self._bucket_ms = {}
+            for b in self.batch_sizes:
+                imgs = jnp.zeros((b, h, w, 3), dtype)
+                jax.block_until_ready(self._run_bucket(b, imgs))   # warm
+                times = []
+                for _ in range(3):
+                    t0 = _time.perf_counter()
+                    jax.block_until_ready(self._run_bucket(b, imgs))
+                    times.append(_time.perf_counter() - t0)
+                self._bucket_ms[b] = min(times) * 1e3
+
     # ------------------------------------------------------------- factory
     @classmethod
     def from_checkpoint(cls, weights_dir: str, cfg: Config, name: str = None,
@@ -168,7 +195,10 @@ class Predictor:
         choice = [0] * (n + 1)
         for r in range(1, n + 1):
             for b in self.batch_sizes:
-                c = self._DISPATCH_OVERHEAD + b + best[max(r - b, 0)]
+                if self._bucket_ms is not None:     # measured (calibrate=True)
+                    c = self._bucket_ms[b] + best[max(r - b, 0)]
+                else:                               # size heuristic
+                    c = self._DISPATCH_OVERHEAD + b + best[max(r - b, 0)]
                 if c < best[r]:
                     best[r], choice[r] = c, b
         plan = []
