@@ -224,6 +224,41 @@ def test_resident_macro_under_mesh_matches_single_device(synth):
         s1.params, jax.device_get(s2.params))
 
 
+@pytest.mark.parametrize("use_predict", [False, True])
+def test_fused_resident_eval_matches_per_batch(synth, use_predict):
+    """collect_predictions over a DeviceDatasetCache (one-dispatch
+    eval_scan_resident) == the legacy per-batch loop on the same batches."""
+    import jax
+
+    from two_stage_object_detection_tpu.config import Config
+    from two_stage_object_detection_tpu.eval.evaluator import (
+        collect_predictions)
+    from two_stage_object_detection_tpu.nets.trainer import create_train_state
+
+    cfg = Config(input_size=(32, 32), num_classes=3, batch_size=2,
+                 max_gt_boxes=5, n_train_pre_nms=32, n_train_post_nms=8,
+                 n_test_pre_nms=16, n_test_post_nms=4, roi_n_sample=4,
+                 rpn_n_sample=8, max_detections=8, compute_dtype="float32")
+    ds = _dataset(synth)
+    cache = DeviceDatasetCache(ds, batch_size=2, shuffle=False)
+    _, state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                  init_image_size=(32, 32))
+    p1, g1, l1 = collect_predictions(state, cache, cfg,
+                                     use_predict=use_predict)
+    batches = list(cache)       # legacy path: a plain list of batches
+    p2, g2, l2 = collect_predictions(state, batches, cfg,
+                                     use_predict=use_predict)
+    assert len(p1) == len(p2) == cache.n - cache.n % 2
+    np.testing.assert_allclose(l1, l2, rtol=1e-6)
+    for (b1, s1, c1), (b2, s2, c2) in zip(p1, p2):
+        np.testing.assert_allclose(b1, b2, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(c1, c2)
+    for (b1, c1), (b2, c2) in zip(g1, g2):
+        np.testing.assert_array_equal(b1, b2)
+        np.testing.assert_array_equal(c1, c2)
+
+
 def test_train_step_from_cache(synth):
     """One device-augmented train step straight off the cache: finite loss."""
     import jax

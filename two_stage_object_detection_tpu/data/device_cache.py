@@ -161,6 +161,15 @@ class DeviceDatasetCache:
         nb = max(len(order) // self.batch_size, 1)
         return order[:nb * self.batch_size].reshape(nb, self.batch_size)
 
+    def all_indices(self) -> np.ndarray:
+        """Deterministic ``[n_batches, B]`` coverage — no shuffle, no epoch
+        advance.  For the fused one-dispatch eval pass
+        (``nets.trainer.eval_scan_resident``)."""
+        order = epoch_order(self.n, 0, self.seed, False,
+                            min_len=self.batch_size)
+        nb = max(len(order) // self.batch_size, 1)
+        return order[:nb * self.batch_size].reshape(nb, self.batch_size)
+
     @property
     def data(self) -> dict:
         """The pinned dataset leaves ``{name: [N, ...] device array}``."""

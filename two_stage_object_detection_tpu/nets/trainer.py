@@ -204,6 +204,48 @@ def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray],
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("use_predict",))
+def eval_scan_resident(state: TrainState, data: Dict[str, jnp.ndarray],
+                       idx: jnp.ndarray, use_predict: bool = False):
+    """The whole eval pass in ONE dispatch over an HBM-resident dataset.
+
+    ``idx``: ``[n_batches, B]`` sample indices.  The scan body gathers each
+    batch from the pinned leaves and runs either the trainer-graph forward
+    (reference eval protocol, ``frcnn_training.py:347-370``) or the true
+    predict path; per-batch predictions stack on device and cross the wire
+    once.  Per-batch ``eval_step`` + ``device_get`` costs ~60 ms of
+    dispatch/sync each on a tunneled runtime — this pays it once per sweep.
+    Returns stacked ``[n_batches, B, ...]`` leaves plus the gathered GT
+    (so the host metric loop reads one structure).
+    """
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    def body(c, sel):
+        b = {k: jnp.take(v, sel, axis=0) for k, v in data.items()}
+        if use_predict:
+            boxes, scores, labels, valid = state.apply_fn(
+                variables, _images_f32(b["image"]), method="predict")
+            out = {"boxes_pred": boxes, "classes_score_pred": scores,
+                   "classes_pred": labels, "pred_valid": valid,
+                   "loss_total": jnp.float32(0)}
+        else:
+            o = state.apply_fn(
+                variables, _images_f32(b["image"]), b["boxes"], b["labels"],
+                b["valid"], train=False, method="train_forward")
+            out = {"boxes_pred": o["boxes_pred"],
+                   "classes_score_pred": o["classes_score_pred"],
+                   "classes_pred": o["classes_pred"],
+                   "pred_valid": o["pred_valid"],
+                   "loss_total": o["losses"]["total"]}
+        out["gt_boxes"] = b["boxes"]
+        out["gt_labels"] = b["labels"]
+        out["gt_valid"] = b["valid"]
+        return c, out
+
+    _, outs = jax.lax.scan(body, 0, idx)
+    return outs
+
+
 def predict_step(state: TrainState, images: jnp.ndarray):
     """Jitted true-inference step -> (boxes, scores, labels, valid)."""
     return _predict_step(state.params, state.batch_stats, state.apply_fn, images)

@@ -206,7 +206,9 @@ def train(visualization: bool = True, cfg: Optional[Config] = None,
 
     def _eval_and_checkpoint():
         nonlocal min_eval_loss
-        sweep = evaluate_sweep(state, lambda: iter(eval_loader), cfg)
+        # pass the loader object (not a raw iterator): an HBM-resident
+        # eval cache then takes the fused one-dispatch path
+        sweep = evaluate_sweep(state, lambda: eval_loader, cfg)
         mAP50_list.append(sweep["mAP50"])
         mAP95_list.append(sweep["mAP95"])
         mAP50_95_list.append(sweep["mAP50_95"])
