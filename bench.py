@@ -461,6 +461,57 @@ def bench_serve(batches=(1, 2, 4, 8, 16, 32, 64)):
             "latency_ms_b1": curve["1"]["ms_per_batch"]}
 
 
+def bench_evalsweep(batch=16, reps=3):
+    """Eval sweep (trainer-graph forward + host mAP matching) over the
+    bench dataset: fused one-dispatch resident path
+    (``eval_scan_resident`` over a DeviceDatasetCache) vs the legacy
+    per-batch eval_step loop on the same device-resident batches."""
+    import time as _t
+
+    from two_stage_object_detection_tpu.config import Config
+    from two_stage_object_detection_tpu.data.device_cache import (
+        DeviceDatasetCache)
+    from two_stage_object_detection_tpu.eval.evaluator import evaluate_sweep
+    from two_stage_object_detection_tpu.nets.trainer import create_train_state
+
+    over = {}
+    if os.environ.get("BENCH_BACKBONE"):
+        over["backbone"] = os.environ["BENCH_BACKBONE"]
+    if os.environ.get("BENCH_ROI"):
+        over["roi_pool_mode"] = os.environ["BENCH_ROI"]
+    cfg = Config(batch_size=batch, max_gt_boxes=16, device_augment=True,
+                 transfer_uint8=True, **over)
+    root = _bench_data_root()
+    stream = _loader(cfg, root)
+    cache = DeviceDatasetCache(stream.dataset, batch, shuffle=False,
+                               num_workers=cfg.num_workers)
+    stream.close()
+    _, state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                  init_image_size=(64, 64))
+    batches = list(cache)
+
+    def timed(loader_obj, label):
+        t0 = _t.perf_counter()
+        evaluate_sweep(state, lambda: loader_obj, cfg)   # compile + warm
+        log(f"  {label} compile+first: {_t.perf_counter() - t0:.1f}s")
+        t0 = _t.perf_counter()
+        for _ in range(reps):
+            evaluate_sweep(state, lambda: loader_obj, cfg)
+        return (_t.perf_counter() - t0) / reps
+
+    fused = timed(cache, "fused")
+    legacy = timed(batches, "per-batch")
+    log(f"evalsweep ({cache.n} images, batch {batch}): fused "
+        f"{fused * 1e3:.0f} ms vs per-batch {legacy * 1e3:.0f} ms "
+        f"({legacy / fused:.2f}x)")
+    return {"images_per_sec": round(cache.n / fused, 2),
+            "images": cache.n, "batch": batch,
+            "fused_ms_per_sweep": round(fused * 1e3, 1),
+            "per_batch_ms_per_sweep": round(legacy * 1e3, 1),
+            "speedup": round(legacy / fused, 2),
+            "includes": "device forward + host NMS + mAP sweep 0.5:0.05:0.95"}
+
+
 def bench_int8(batch=16):
     """Batched inference, bf16 vs int8-quantized (quantize.py), per
     backbone.  v5e's MXU is 2x peak in int8 and int8 activations halve
@@ -517,7 +568,7 @@ def bench_train_backbones(batch=16):
 
 VALID_CONFIGS = ("batched16", "single1", "resnet50", "rpn8", "train16",
                  "train_fast", "trainloop16", "pipeline", "serve",
-                 "backbones", "train_backbones", "int8", "all")
+                 "backbones", "train_backbones", "int8", "evalsweep", "all")
 # "all" = the BASELINE measurement matrix; the 7-way backbone sweep is
 # extra-credit breadth, selected explicitly
 ALL_SET = ("batched16", "single1", "resnet50", "rpn8", "train16",
@@ -596,6 +647,8 @@ def main():
         results["train_backbones"] = bench_train_backbones()
     if "int8" in sel:
         results["int8"] = bench_int8()
+    if "evalsweep" in sel:
+        results["evalsweep" + ("_fast" if suffix.endswith("_fast") else "")] = bench_evalsweep()
 
     if results:
         merge_details(results)
