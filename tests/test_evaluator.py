@@ -66,6 +66,28 @@ def test_per_class_nms_vectorised_matches_reference():
         np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
 
 
+def test_compute_map_sweep_matches_per_threshold():
+    """compute_map_sweep (IoU hoisted out of the threshold loop) returns
+    exactly compute_map's mAP at every threshold, on random scenes."""
+    from two_stage_object_detection_tpu.eval.metrics import (
+        compute_map, compute_map_sweep)
+    rng = np.random.RandomState(2)
+    preds, gts = [], []
+    for _ in range(12):
+        n, m = rng.randint(0, 20), rng.randint(0, 6)
+        mk = lambda k: np.concatenate(
+            [rng.rand(k, 2) * 200, rng.rand(k, 2) * 200 + 200], -1
+        ).astype(np.float32)
+        preds.append((mk(n), rng.rand(n).astype(np.float32),
+                      rng.randint(1, 4, n)))
+        gts.append((mk(m), rng.randint(1, 4, m)))
+    thresholds = np.arange(0.5, 1.0, 0.05)
+    sweep = compute_map_sweep(preds, gts, 3, thresholds)
+    for t in thresholds:
+        want = compute_map(preds, gts, 3, iou_threshold=float(t))["mAP"]
+        assert sweep[float(t)] == want, t
+
+
 def test_evaluate_smoke():
     cfg = tiny_config()
     _, state = create_train_state(cfg, jax.random.PRNGKey(0),

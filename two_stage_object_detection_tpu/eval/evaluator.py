@@ -186,16 +186,16 @@ def evaluate_sweep(state: TrainState, loader_fn, cfg: Config,
     ``"coco"``, computed from the same cached predictions.
     """
     preds, gts, eval_loss = collect_predictions(state, loader_fn(), cfg, **kw)
+    from two_stage_object_detection_tpu.eval.metrics import compute_map_sweep
+    maps = compute_map_sweep(preds, gts, cfg.num_classes, thresholds)
     total, m50, m95 = 0.0, 0.0, 0.0
-    for t in thresholds:
-        m = compute_map(preds, gts, cfg.num_classes,
-                        iou_threshold=float(t))["mAP"]
+    for t, m in maps.items():
         total += m
         if abs(t - 0.5) < 1e-6:
             m50 = m
         if abs(t - 0.95) < 1e-6:
             m95 = m
-    n = len(tuple(thresholds))
+    n = len(maps)
     out = {"mAP50": m50, "mAP95": m95, "mAP50_95": total / n,
            "eval_loss": eval_loss}
     if coco_summary:

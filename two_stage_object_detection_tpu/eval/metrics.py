@@ -152,6 +152,62 @@ def compute_map(
             "class_metrics": class_metrics}
 
 
+def compute_map_sweep(
+    predictions: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray]],
+    ground_truths: Sequence[Tuple[np.ndarray, np.ndarray]],
+    num_classes: int,
+    thresholds: Sequence[float],
+) -> Dict[float, float]:
+    """``{threshold: mAP}`` over several IoU thresholds, IoU computed once.
+
+    Identical results to calling :func:`compute_map` per threshold — the
+    per-(class, image) IoU matrices and score sorts do not depend on the
+    threshold, so they are hoisted out of the sweep and only the tiny
+    greedy matching repeats (the dominant host cost of
+    ``evaluate_sweep``'s 10-threshold pass)."""
+    per_class = []
+    for c in range(1, num_classes + 1):
+        items, n_gt_total = [], 0
+        for (p_boxes, p_scores, p_labels), (g_boxes, g_labels) in zip(
+                predictions, ground_truths):
+            pm = p_labels == c
+            gm = g_labels == c
+            pb, ps, gb = p_boxes[pm], p_scores[pm], g_boxes[gm]
+            n_gt_total += len(gb)
+            if len(pb) == 0:
+                continue
+            order = np.argsort(-ps, kind="stable")
+            items.append((ps[order], _iou_matrix(pb[order], gb)))
+        per_class.append((items, n_gt_total))
+
+    out = {}
+    for t in (float(t) for t in thresholds):
+        aps = []
+        for items, n_gt_total in per_class:
+            all_scores, all_tp = [], []
+            for ps, iou in items:
+                n_gb = iou.shape[1]
+                matched = np.zeros(n_gb, bool)
+                tp_flags = np.zeros(len(ps), bool)
+                for k in range(len(ps)):
+                    if n_gb == 0:
+                        break
+                    j = int(np.argmax(np.where(matched, -1.0, iou[k])))
+                    if iou[k, j] > t and not matched[j]:
+                        matched[j] = True
+                        tp_flags[k] = True
+                all_scores.append(ps)
+                all_tp.append(tp_flags)
+            if n_gt_total > 0:
+                scores = (np.concatenate(all_scores) if all_scores
+                          else np.zeros(0))
+                tps = (np.concatenate(all_tp) if all_tp
+                       else np.zeros(0, bool))
+                aps.append(_ap_from_matches(scores, tps, n_gt_total))
+        out[t] = float(np.mean(aps)) if aps else 0.0
+    return out
+
+
 # --------------------------------------------------------------- COCO-style
 _AREA_RANGES = {
     "all": (0.0, float("inf")),
