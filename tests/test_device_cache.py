@@ -281,3 +281,13 @@ def test_train_step_from_cache(synth):
     state, losses = train_step(state, batch, jax.random.PRNGKey(1),
                                device_augment=True)
     assert np.isfinite(float(losses["total"]))
+
+
+def test_empty_shard_raises_clear_error(synth):
+    """A shard with zero images must fail with a descriptive ValueError,
+    not an IndexError deep in the stacking code (and must not be the
+    MemoryError type that triggers the silent streaming fallback)."""
+    ds = _dataset(synth)
+    with pytest.raises(ValueError, match="empty"):
+        DeviceDatasetCache(ds, batch_size=1, shard_count=len(ds) + 1,
+                           shard_index=len(ds))

@@ -111,3 +111,64 @@ def test_train_resume_continues_from_last(tmp_path):
     a = jax.tree_util.tree_leaves(s1.params)[0]
     b = jax.tree_util.tree_leaves(s2.params)[0]
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_train_takes_resident_path_single_device(tmp_path, monkeypatch):
+    """Config(cache_device=True, fused_accum=True) on ONE device must use
+    the one-dispatch resident macro step from train() — the benched recipe,
+    not the streaming fallback (round-3 review: the gate used to require a
+    mesh because build_loaders always passed a per-batch device_put)."""
+    import two_stage_object_detection_tpu.train as train_mod
+
+    root = str(tmp_path / "data")
+    generate_synthetic_coco(root, split="train2017", num_images=4,
+                            num_classes=3, image_size=(64, 64), seed=7)
+    generate_synthetic_coco(root, split="val2017", num_images=2,
+                            num_classes=3, image_size=(64, 64), seed=8)
+    cfg = tiny_config(batch_size=2, num_workers=2, num_epochs=1,
+                      train_ratio=1.0, eval_ratio=1.0,
+                      cache_device=True, device_augment=True,
+                      fused_accum=True, grad_accum_steps=2)
+    calls = []
+    real = train_mod.train_macro_step_resident
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(train_mod, "train_macro_step_resident", spy)
+    state = train_mod.train(visualization=False, cfg=cfg, data_root=root,
+                            weights_dir=str(tmp_path / "w"), eval_period=1,
+                            mesh=None)
+    # 4 images / batch 2 = 2 micro-steps = exactly one 2-step macro cycle
+    assert calls == [1]
+    assert int(state.step) == 2
+
+
+def test_build_loaders_multiprocess_falls_back_to_streaming(tmp_path,
+                                                            monkeypatch):
+    """cache_device is single-controller: with process_count > 1 the
+    loaders must be streaming Loaders (per-process shard semantics), and
+    only the TRAIN loader may shard — eval metrics must be identical on
+    every process so best-checkpoint decisions don't diverge."""
+    import two_stage_object_detection_tpu.train as train_mod
+    from two_stage_object_detection_tpu.train import build_loaders
+
+    root = str(tmp_path / "data")
+    generate_synthetic_coco(root, split="train2017", num_images=4,
+                            num_classes=3, image_size=(64, 64), seed=7)
+    generate_synthetic_coco(root, split="val2017", num_images=2,
+                            num_classes=3, image_size=(64, 64), seed=8)
+    monkeypatch.setattr(train_mod.jax, "process_count", lambda: 2)
+    monkeypatch.setattr(train_mod.jax, "process_index", lambda: 1)
+    cfg = tiny_config(batch_size=2, num_workers=2, train_ratio=1.0,
+                      eval_ratio=1.0, cache_device=True, device_augment=True)
+    tr, ev, _ = build_loaders(cfg, root)
+    try:
+        assert isinstance(tr, Loader) and isinstance(ev, Loader)
+        assert tr.shard_count == 2 and tr.shard_index == 1
+        assert ev.shard_count == 1 and ev.shard_index == 0
+    finally:
+        tr.close()
+        ev.close()

@@ -120,3 +120,24 @@ def test_sweep_forward_once_matches_per_threshold_eval():
     assert sweep["mAP50"] == m50
     assert abs(sweep["mAP50_95"] - (m50 + m75) / 2) < 1e-9
     assert abs(sweep["eval_loss"] - loss50) < 1e-9
+
+
+def test_per_class_nms_unclipped_huge_coordinates():
+    """Train-graph eval boxes are NOT clipped: a divergent loc2bbox decode
+    can exceed any fixed class-offset band.  The band is sized from the
+    actual coordinate range, so keeps still match the per-class oracle."""
+    rng = np.random.RandomState(1)
+    for trial in range(20):
+        n = rng.randint(2, 40)
+        xy = rng.rand(n, 2) * 500 - 100          # negative coords too
+        wh = rng.rand(n, 2) * 120 + 1
+        boxes = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+        # a few divergent decodes: boxes spanning far past 1e4
+        k = rng.randint(1, 4)
+        rows = rng.choice(n, k, replace=False)
+        boxes[rows, 2:] = boxes[rows, :2] + rng.rand(k, 2) * 5e4 + 1e4
+        scores = rng.rand(n).astype(np.float32)
+        labels = rng.randint(1, 4, n)
+        got = _per_class_nms_host(boxes, scores, labels, 3, 0.5)
+        want = _per_class_nms_reference(boxes, scores, labels, 3, 0.5)
+        np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")

@@ -79,16 +79,18 @@ def test_predictor_measured_cost_routing(served, rng):
                      batch_sizes=(1, 2), calibrate=True)
     assert set(pred._bucket_ms) == {1, 2}
     assert all(v > 0 for v in pred._bucket_ms.values())
-    # pin the measured table both ways (hardware-independent assertions)
-    Predictor._plan.cache_clear()
+    # pin the measured table both ways (hardware-independent assertions);
+    # the plan memo is per-instance (a class-level lru_cache would pin
+    # retired Predictors — params + AOT executables — for process life)
+    pred._plan_memo.clear()
     pred._bucket_ms = {1: 11.8, 2: 7.8}
     assert pred._plan(1) == (2,)
     assert sorted(pred._plan(3)) == [2, 2]
-    Predictor._plan.cache_clear()
+    pred._plan_memo.clear()
     pred._bucket_ms = {1: 3.0, 2: 7.8}
     assert pred._plan(1) == (1,)
     # correctness through the padded route
-    Predictor._plan.cache_clear()
+    pred._plan_memo.clear()
     pred._bucket_ms = {1: 11.8, 2: 7.8}
     imgs = rng.rand(1, *cfg.input_size, 3).astype(np.float32)
     out = pred(imgs)

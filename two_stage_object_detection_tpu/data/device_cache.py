@@ -17,12 +17,14 @@ The reference re-decodes every image every epoch on 12 worker processes
 this is the tf.data ``cache()``/FFCV "OS-cache" recipe pushed one level
 further down the memory hierarchy.
 
-Multi-host note: each process pins its *own fixed shard*
-(``shard_index::shard_count``) and shuffles locally per epoch.  Unlike the
-streaming Loader — which re-deals one global permutation across hosts every
-epoch — resident images cannot migrate between hosts, so shuffling is
-within-shard (the standard sharded-cache trade-off, same as pygrain/tf.data
-``shard -> cache -> shuffle``).
+Residency is **single-controller**: one process owning all mesh devices
+(the ``data_sharding`` path pins the dataset sharded over the mesh's
+``data`` axis, each chip holding its slice).  On multi-host (multi-process)
+runs ``train.build_loaders`` falls back to the streaming Loader — a global
+``NamedSharding`` expects every process to contribute slices of the *same*
+global array, which per-process local shards are not, and per-process epoch
+index draws would diverge under SPMD.  The ``shard_count``/``shard_index``
+constructor args remain for explicit single-process subset pinning.
 """
 
 from __future__ import annotations
@@ -98,6 +100,10 @@ class DeviceDatasetCache:
         self.device_put = device_put
 
         ids = list(range(shard_index, len(dataset), shard_count))
+        if not ids:
+            raise ValueError(
+                f"shard {shard_index}/{shard_count} of a {len(dataset)}-image "
+                f"dataset is empty — fewer images than shards")
         first = dataset.get(ids[0], 0)
         per_sample = sum(np.asarray(v).nbytes for v in first.values())
         total = per_sample * len(ids)

@@ -34,8 +34,16 @@ def _per_class_nms_host(boxes, scores, labels, num_classes, iou_threshold):
     n = len(boxes)
     if n == 0:
         return np.zeros((0,), np.int64)
-    # class offset: 600-px coords stay far below the 1e4 class separation
-    b = boxes.astype(np.float64) + labels[:, None].astype(np.float64) * 1e4
+    # class offset: bands are sized from the ACTUAL coordinate range, not a
+    # fixed 1e4 — train-graph eval boxes come from loc2bbox without
+    # clip_boxes, so an early-training divergent decode (w*exp(dw)) can
+    # exceed any fixed band and leak cross-class IoU (the device predict
+    # path applies the same trick only after clip_boxes, so it can use a
+    # fixed span)
+    bb = boxes.astype(np.float64)
+    lo = float(bb.min())
+    span = max(1e4, float(bb.max()) - lo + 1.0)
+    b = (bb - lo) + labels[:, None].astype(np.float64) * span
     order = np.argsort(-scores, kind="stable")
     b = b[order]
     tl = np.maximum(b[:, None, :2], b[None, :, :2])

@@ -140,6 +140,7 @@ class Predictor:
         # AOT-compiled bucket once (negligible next to the compiles) and
         # the chunking plan then routes by real cost, e.g. single-image
         # requests pad to a faster larger bucket when that measures faster.
+        self._plan_memo = {}
         self._bucket_ms = None
         if calibrate:
             import time as _time
@@ -181,7 +182,6 @@ class Predictor:
     # run costs ~ overhead + size.  Drives the chunking plan below.
     _DISPATCH_OVERHEAD = 4
 
-    @functools.lru_cache(maxsize=256)
     def _plan(self, n: int):
         """Cheapest bucket sequence covering ``n`` images.
 
@@ -189,7 +189,15 @@ class Predictor:
         request with buckets (1, 8, 16) runs 8+1, not one padded 16
         (round-2 verdict weak #6); a 7-image request still prefers one
         padded 8 over seven b=1 dispatches.
+
+        Memoised per instance (``self._plan_memo``), NOT ``lru_cache`` on
+        the method: a class-level cache would key on ``self`` and pin
+        retired Predictors — params + AOT executables — for the process
+        lifetime (model-reload services would leak old checkpoints).
         """
+        hit = self._plan_memo.get(n)
+        if hit is not None:
+            return hit
         inf = float("inf")
         best = [0.0] + [inf] * n
         choice = [0] * (n + 1)
@@ -206,7 +214,8 @@ class Predictor:
         while r > 0:
             plan.append(choice[r])
             r -= choice[r]
-        return tuple(plan)
+        self._plan_memo[n] = tuple(plan)
+        return self._plan_memo[n]
 
     def __call__(self, images: np.ndarray) -> Dict[str, np.ndarray]:
         """Detect on ``[N, H, W, 3]`` images (any ``N >= 1``).

@@ -64,16 +64,30 @@ def build_loaders(cfg: Config, data_root: str = "data", device_put=None,
     # device_put in the producer thread overlaps host->device transfer of
     # batch k+1 with step k (the reference's pinned-memory double buffering)
     # on a multi-host slice each process feeds a disjoint shard of every
-    # epoch (same seeded global order everywhere, no coordination traffic)
-    mk = lambda ds, sh: Loader(ds, cfg.batch_size, shuffle=sh,
-                               num_workers=cfg.num_workers,
-                               prefetch=cfg.prefetch_factor,
-                               device_put=device_put or jax.device_put,
-                               worker_mode=cfg.worker_mode,
-                               persistent_workers=cfg.persistent_workers,
-                               shard_count=jax.process_count(),
-                               shard_index=jax.process_index())
-    if cfg.cache_device:
+    # TRAIN epoch (same seeded global order everywhere, no coordination
+    # traffic).  The EVAL loader is deliberately NOT sharded: every process
+    # iterates the full eval set so mAP/eval_loss — and the best-checkpoint
+    # decision keyed on them — are bitwise identical across processes
+    # (divergent per-shard metrics would race the _best checkpoint).
+    mk = lambda ds, sh, shards: Loader(
+        ds, cfg.batch_size, shuffle=sh,
+        num_workers=cfg.num_workers,
+        prefetch=cfg.prefetch_factor,
+        device_put=device_put or jax.device_put,
+        worker_mode=cfg.worker_mode,
+        persistent_workers=cfg.persistent_workers,
+        shard_count=jax.process_count() if shards else 1,
+        shard_index=jax.process_index() if shards else 0)
+    if cfg.cache_device and jax.process_count() > 1:
+        # Multi-host residency is not supported: each process would pin a
+        # different local shard while a global NamedSharding expects every
+        # process to contribute slices of the SAME global array, and the
+        # per-process epoch index draws would diverge under SPMD.  The
+        # streaming Loader has well-defined per-process shard semantics.
+        log.warning("cache_device=True is single-controller only "
+                    "(process_count=%d) — falling back to streaming Loader",
+                    jax.process_count())
+    elif cfg.cache_device:
         # HBM-resident datasets: decode once, gather batches on device —
         # host + wire leave the steady-state loop (data/device_cache.py)
         if not cfg.device_augment:
@@ -89,19 +103,23 @@ def build_loaders(cfg: Config, data_root: str = "data", device_put=None,
         if mesh is not None and not spatial:
             from jax.sharding import NamedSharding, PartitionSpec
             data_sharding = NamedSharding(mesh, PartitionSpec("data"))
+        # gathered batches already live on the right devices: without a
+        # mesh they sit on the default device (pass NO per-batch placement,
+        # so train() takes the one-dispatch resident path); with a mesh the
+        # pinned leaves are sharded over 'data' and device_put reshard
+        # applies only on the streaming-iteration fallback
         mk_cached = lambda ds, sh: DeviceDatasetCache(
-            ds, cfg.batch_size, shuffle=sh,
-            seed=0, shard_count=jax.process_count(),
-            shard_index=jax.process_index(),
+            ds, cfg.batch_size, shuffle=sh, seed=0,
             max_bytes=cfg.cache_device_max_bytes,
-            num_workers=cfg.num_workers, device_put=device_put,
+            num_workers=cfg.num_workers,
+            device_put=None if mesh is None else device_put,
             data_sharding=data_sharding)
         try:
             return mk_cached(train_ds, True), mk_cached(eval_ds, False), eval_idx
         except MemoryError as e:
             log.warning("cache_device: %s — falling back to streaming Loader",
                         e)
-    return mk(train_ds, True), mk(eval_ds, False), eval_idx
+    return mk(train_ds, True, True), mk(eval_ds, False, False), eval_idx
 
 
 def train(visualization: bool = True, cfg: Optional[Config] = None,
