@@ -614,9 +614,12 @@ def main():
     if "train16" in sel:
         results["train16"] = bench_train()
     if "train_fast" in sel:
-        # the shipped fast recipe: strided backbone + MXU matmul RoIAlign
-        results["train_fast"] = bench_train(backbone="hardnet39s",
-                                            roi_pool_mode="align")
+        # the shipped fast recipe: strided backbone + MXU matmul RoIAlign;
+        # BENCH_BATCH overrides the batch (rows land under train_fast_b{N})
+        tb = int(os.environ.get("BENCH_BATCH", 16))
+        key = "train_fast" if tb == 16 else f"train_fast_b{tb}"
+        results[key] = bench_train(batch=tb, backbone="hardnet39s",
+                                   roi_pool_mode="align")
     # BENCH_PIPELINE=device / BENCH_WORKERS=process record their variants
     # under distinct keys so all four host-pipeline rows (thread/process x
     # host/device augment) coexist in BENCH_DETAILS
@@ -638,9 +641,15 @@ def main():
     if "trainloop16" in sel:
         results["trainloop16" + suffix] = bench_trainloop()
     if "serve" in sel:
-        key = ("serve_fast" if (os.environ.get("BENCH_BACKBONE")
-                                or os.environ.get("BENCH_ROI")) else "serve")
-        results[key] = bench_serve()
+        bb = os.environ.get("BENCH_BACKBONE")
+        # hardnet39s(+align) is THE fast recipe -> serve_fast (back-compat);
+        # any other backbone records under its own serve_{backbone} key
+        key = ("serve" if not (bb or os.environ.get("BENCH_ROI"))
+               else "serve_fast" if bb in (None, "hardnet39s")
+               else f"serve_{bb}")
+        batches = tuple(int(b) for b in os.environ.get(
+            "BENCH_SERVE_BATCHES", "1,2,4,8,16,32,64").split(","))
+        results[key] = bench_serve(batches)
     if "backbones" in sel:
         results["backbones"] = bench_backbones()
     if "train_backbones" in sel:
