@@ -76,6 +76,23 @@ def test_checkpoint_roundtrip(pipeline, tmp_path):
     assert ckpt.restore_checkpoint(path, state, name="missing") is None
 
 
+def test_checkpoint_async_save_roundtrip(pipeline, tmp_path):
+    """wait=False saves land durably: restore (which waits for in-flight
+    async saves first) sees the written state; a second async save
+    serialises behind the first."""
+    cfg, loader, model, state = pipeline
+    path = str(tmp_path / "weights")
+    os.makedirs(path, exist_ok=True)
+    ckpt.save_checkpoint(path, state, name=ckpt.LAST, wait=False)
+    ckpt.save_checkpoint(path, state, name=ckpt.BEST, wait=False)
+    restored = ckpt.restore_checkpoint(path, state, name=ckpt.BEST)
+    assert restored is not None
+    a = jax.tree_util.tree_leaves(state.params)[0]
+    b = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    ckpt.wait_for_saves()              # idempotent when nothing in flight
+
+
 @pytest.mark.slow
 def test_train_resume_continues_from_last(tmp_path):
     """resume=True restores the FULL state (step counter + optimiser) from

@@ -170,3 +170,69 @@ def test_predictor_from_checkpoint(served, rng, tmp_path):
                                rtol=1e-5, atol=1e-5)
     with pytest.raises(FileNotFoundError):
         Predictor.from_checkpoint(str(tmp_path / "nope"), cfg)
+
+
+# ----------------------------------------------------------- DynamicBatcher
+def test_dynamic_batcher_matches_direct(served, rng):
+    """Results routed through the batcher equal the direct predictor call."""
+    from two_stage_object_detection_tpu.serving import DynamicBatcher
+    cfg, state = served
+    pred = Predictor(cfg, state.params, state.batch_stats, batch_sizes=(1, 4))
+    imgs = _images(rng, 3, cfg)
+    want = pred(imgs)
+    with DynamicBatcher(pred, max_wait_ms=20.0) as dyn:
+        futs = [dyn.submit(imgs[i]) for i in range(3)]
+        outs = [f.result(timeout=60) for f in futs]
+    for i, out in enumerate(outs):
+        assert out["boxes"].shape == (1, cfg.max_detections, 4)
+        for k in ("boxes", "scores", "labels", "valid"):
+            np.testing.assert_allclose(out[k], want[k][i:i + 1],
+                                       rtol=1e-5, atol=1e-5)
+
+
+def test_dynamic_batcher_concurrent_threads(served, rng):
+    """Many submitters on threads: every future resolves, shapes correct,
+    and per-request results match a solo run (collation is order-safe)."""
+    import threading
+    from two_stage_object_detection_tpu.serving import DynamicBatcher
+    cfg, state = served
+    pred = Predictor(cfg, state.params, state.batch_stats, batch_sizes=(1, 4))
+    reqs = [_images(rng, n, cfg) for n in (1, 2, 1, 3, 1, 2)]
+    want = [pred(r) for r in reqs]
+    results = [None] * len(reqs)
+    with DynamicBatcher(pred, max_wait_ms=10.0) as dyn:
+        def go(i):
+            results[i] = dyn.submit(reqs[i]).result(timeout=60)
+        ts = [threading.Thread(target=go, args=(i,)) for i in range(len(reqs))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+    for got, ref, req in zip(results, want, reqs):
+        assert got["boxes"].shape == (req.shape[0], cfg.max_detections, 4)
+        np.testing.assert_allclose(got["boxes"], ref["boxes"],
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(got["valid"], ref["valid"])
+
+
+def test_dynamic_batcher_close_flushes_pending(served, rng):
+    """close() completes queued work rather than dropping it."""
+    from two_stage_object_detection_tpu.serving import DynamicBatcher
+    cfg, state = served
+    pred = Predictor(cfg, state.params, state.batch_stats, batch_sizes=(4,))
+    dyn = DynamicBatcher(pred, max_wait_ms=10_000.0)   # never flush by time
+    fut = dyn.submit(_images(rng, 2, cfg))
+    dyn.close()
+    out = fut.result(timeout=0)        # resolved by the closing flush
+    assert out["boxes"].shape == (2, cfg.max_detections, 4)
+    with pytest.raises(RuntimeError):
+        dyn.submit(_images(rng, 1, cfg))
+
+
+def test_dynamic_batcher_rejects_wrong_shape(served, rng):
+    from two_stage_object_detection_tpu.serving import DynamicBatcher
+    cfg, state = served
+    pred = Predictor(cfg, state.params, state.batch_stats, batch_sizes=(1,))
+    with DynamicBatcher(pred) as dyn:
+        with pytest.raises(ValueError):
+            dyn.submit(np.zeros((1, 8, 8, 3), np.float32))

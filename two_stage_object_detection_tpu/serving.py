@@ -13,6 +13,9 @@ predict path (``nets/detector.py`` ``FasterRCNN.predict``) for production:
 * **Data-parallel serving** over a ``jax.sharding.Mesh``: pass ``mesh=``
   and each bucket is compiled with the batch sharded over the ``data``
   axis — batch-parallel inference over ICI with no code change.
+* **Dynamic batching** (:class:`DynamicBatcher`): cross-request collation
+  with a bounded wait, so many small concurrent requests share one padded
+  bucket dispatch instead of each paying the fixed overhead.
 * **Portable StableHLO export** (:func:`export_stablehlo` /
   :func:`load_exported`, built on ``jax.export``): a single serialized
   artifact with the weights embedded, loadable by any JAX process (or an
@@ -247,6 +250,118 @@ class Predictor:
             i += take
         cat = tuple(np.concatenate(parts) for parts in zip(*outs))
         return dict(zip(FIELDS, cat))
+
+
+class DynamicBatcher:
+    """Cross-request dynamic batching on top of :class:`Predictor`.
+
+    Production detectors see many small concurrent requests; running each
+    alone wastes the per-dispatch overhead and the padded bucket slots.
+    This collates *across* requests (the serving-system "dynamic batching"
+    pattern — e.g. Triton / TF-Serving): :meth:`submit` enqueues a request
+    and returns a ``concurrent.futures.Future``; one background thread
+    flushes the queue when either (a) pending images fill the largest
+    bucket, or (b) the OLDEST pending request has waited ``max_wait_ms``.
+    Each flush concatenates the pending images, runs the predictor ONCE
+    (its measured-cost plan picks the optimal bucket sequence for the
+    combined size), and slices results back per request.
+
+    The reference has no serving story at all (its ``multi_inference.py``
+    drives the training graph image-by-image); this is new surface.
+
+    Thread-safety: ``submit`` may be called from any number of threads.
+    All device work happens on the single worker thread, so bucket
+    executables never race.  Use as a context manager, or call
+    :meth:`close` — pending requests are flushed, not dropped.
+    """
+
+    def __init__(self, predictor: Predictor, max_wait_ms: float = 5.0,
+                 max_batch: int = None):
+        import collections
+        import threading
+        self._pred = predictor
+        self._max_wait = max_wait_ms / 1e3
+        self._max_batch = max_batch or max(predictor.batch_sizes)
+        self._lock = threading.Condition()
+        self._queue = collections.deque()   # (images[n,h,w,3], n, future, t0)
+        self._pending = 0                   # images queued, under _lock
+        self._closing = False
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="DynamicBatcher")
+        self._worker.start()
+
+    # ---------------------------------------------------------------- API
+    def submit(self, images: np.ndarray):
+        """Enqueue ``[N,H,W,3]`` (or ``[H,W,3]``) images.
+
+        Returns a ``Future`` resolving to the same dict ``__call__`` on the
+        predictor would return for these images alone.
+        """
+        import concurrent.futures
+        import time as _time
+        images = np.asarray(images)
+        if images.ndim == 3:
+            images = images[None]
+        h, w = self._pred.cfg.input_size
+        if images.shape[1:] != (h, w, 3):
+            raise ValueError(
+                f"expected [N, {h}, {w}, 3] images, got {images.shape}")
+        fut = concurrent.futures.Future()
+        with self._lock:
+            if self._closing:
+                raise RuntimeError("DynamicBatcher is closed")
+            self._queue.append((images, images.shape[0], fut,
+                                _time.perf_counter()))
+            self._pending += images.shape[0]
+            self._lock.notify()
+        return fut
+
+    def close(self):
+        """Flush pending requests and stop the worker."""
+        with self._lock:
+            self._closing = True
+            self._lock.notify()
+        self._worker.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ------------------------------------------------------------- worker
+    def _run(self):
+        import time as _time
+        while True:
+            with self._lock:
+                while True:
+                    if self._queue:
+                        oldest = self._queue[0][3]
+                        full = self._pending >= self._max_batch
+                        timeout = oldest + self._max_wait - _time.perf_counter()
+                        if full or self._closing or timeout <= 0:
+                            break
+                        self._lock.wait(timeout)
+                    elif self._closing:
+                        return
+                    else:
+                        self._lock.wait()
+                batch, self._queue = list(self._queue), type(self._queue)()
+                self._pending = 0
+            self._flush(batch)
+
+    def _flush(self, batch):
+        images = np.concatenate([b[0] for b in batch])
+        try:
+            out = self._pred(images)
+        except Exception as e:                     # pragma: no cover
+            for _, _, fut, _ in batch:
+                fut.set_exception(e)
+            return
+        i = 0
+        for _, n, fut, _ in batch:
+            fut.set_result({k: v[i:i + n] for k, v in out.items()})
+            i += n
 
 
 # ------------------------------------------------------------------ export

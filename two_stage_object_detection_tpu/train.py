@@ -240,8 +240,10 @@ def train(visualization: bool = True, cfg: Optional[Config] = None,
         # periodic full-state save so ``resume=True`` can recover a
         # crashed/preempted run (the reference writes _last only at
         # the very end, train/train.py:136-143); the sidecar carries
-        # the global-best eval loss across the restart
-        ckpt.save_checkpoint(weights_dir, state, name=ckpt.LAST)
+        # the global-best eval loss across the restart.  wait=False:
+        # the disk write overlaps the next epoch's steps (crash-resume
+        # saves need no read-after-write; the final save below waits)
+        ckpt.save_checkpoint(weights_dir, state, name=ckpt.LAST, wait=False)
         with open(meta_path, "w") as f:
             json.dump({"min_eval_loss": min_eval_loss}, f)
 

@@ -24,15 +24,42 @@ def _ckptr() -> ocp.Checkpointer:
     return ocp.StandardCheckpointer()
 
 
-def save_checkpoint(path: str, state: Any, name: str = LAST) -> str:
-    """Save a pytree (e.g. TrainState) under ``path/name``."""
+# in-flight async save (at most one: a second wait-free save waits for the
+# first — Orbax requires it, and it naturally bounds dirty data to one save)
+_inflight: Optional[ocp.Checkpointer] = None
+
+
+def save_checkpoint(path: str, state: Any, name: str = LAST,
+                    wait: bool = True) -> str:
+    """Save a pytree (e.g. TrainState) under ``path/name``.
+
+    ``wait=True`` (default) blocks until durable — the reference's
+    ``torch.save`` contract (``train/train.py:122-143``).  ``wait=False``
+    returns once the host copy of ``state`` is snapshotted and lets the
+    disk write proceed in Orbax's background thread, overlapping
+    checkpoint IO with the next training steps (the periodic ``_last``
+    crash-resume saves don't need read-after-write).  Call
+    :func:`wait_for_saves` before relying on the file (end of training,
+    or before restoring).
+    """
+    global _inflight
     full = os.path.abspath(os.path.join(path, name))
+    wait_for_saves()                     # one async save in flight at a time
     ckptr = _ckptr()
     ckptr.save(full, jax.device_get(state), force=True)
-    # StandardCheckpointer writes asynchronously; the reference's torch.save
-    # contract is synchronous (train/train.py:122-143) — block until durable
-    ckptr.wait_until_finished()
+    if wait:
+        ckptr.wait_until_finished()
+    else:
+        _inflight = ckptr
     return full
+
+
+def wait_for_saves() -> None:
+    """Block until any ``wait=False`` save is durable on disk."""
+    global _inflight
+    if _inflight is not None:
+        _inflight.wait_until_finished()
+        _inflight = None
 
 
 def restore_checkpoint(path: str, target: Any, name: str = BEST,
@@ -42,6 +69,7 @@ def restore_checkpoint(path: str, target: Any, name: str = BEST,
     ``params_only`` mirrors the reference's ``pre_train=True`` behaviour
     (weights restored, optimiser state fresh — ``train/train.py:60-72``).
     """
+    wait_for_saves()                    # a pending async save may be this file
     full = os.path.abspath(os.path.join(path, name))
     if not os.path.exists(full):
         return None
