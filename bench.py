@@ -224,7 +224,9 @@ def bench_train(batch=16, backbone="hardnet39", roi_pool_mode="pool"):
 def _bench_data_root(num_images=128):
     from two_stage_object_detection_tpu.data.synthetic import (
         generate_synthetic_coco)
-    root = "/tmp/bench_pipeline_data"
+    # root keyed by size: different-sized runs must not share annotations
+    root = ("/tmp/bench_pipeline_data" if num_images == 128
+            else f"/tmp/bench_pipeline_data_{num_images}")
     marker = os.path.join(root, f".done_{num_images}")
     if not os.path.exists(marker):
         generate_synthetic_coco(root, split="train2017",
@@ -310,7 +312,9 @@ def bench_trainloop(batch=16, steps=24):
                  cache_decoded=os.environ.get("BENCH_CACHE", "") == "1",
                  transfer_uint8=os.environ.get("BENCH_U8", "") == "1",
                  **over)
-    root = _bench_data_root()
+    # enough images that one epoch holds >= one full accumulation cycle
+    # of batches (the resident macro step scans fused_k gathered batches)
+    root = _bench_data_root(max(128, batch * cfg.grad_accum_steps))
     if os.environ.get("BENCH_HBM", "") == "1":
         # HBM-resident dataset: decode once, on-device gather per batch —
         # the host and the wire leave the steady-state loop entirely
@@ -338,6 +342,13 @@ def bench_trainloop(batch=16, steps=24):
     def run_resident(state, n):
         from two_stage_object_detection_tpu.nets.trainer import (
             train_macro_step_resident)
+        # the dataset must hold >= fused_k batches per epoch, else the
+        # macro step would scan fewer micro-steps than the count credits
+        # (caught at batch=64 on the default 128-image set: 2-row epochs
+        # measured 4x too fast) — _bench_data_root is sized above, and
+        # this guard keeps the accounting honest regardless
+        assert len(loader.epoch_indices()) >= fused_k, \
+            f"bench dataset holds < {fused_k} batches of {batch}"
         done, last, idx = 0, None, loader.epoch_indices()
         c = 0
         while done < n:
@@ -639,7 +650,10 @@ def main():
     if "pipeline" in sel:
         results["pipeline" + suffix] = bench_pipeline()
     if "trainloop16" in sel:
-        results["trainloop16" + suffix] = bench_trainloop()
+        # BENCH_BATCH overrides the batch (rows land under trainloop_b{N}...)
+        lb = int(os.environ.get("BENCH_BATCH", 16))
+        lkey = "trainloop16" if lb == 16 else f"trainloop_b{lb}"
+        results[lkey + suffix] = bench_trainloop(batch=lb)
     if "serve" in sel:
         bb = os.environ.get("BENCH_BACKBONE")
         # hardnet39s(+align) is THE fast recipe -> serve_fast (back-compat);
