@@ -236,3 +236,46 @@ def test_dynamic_batcher_rejects_wrong_shape(served, rng):
     with DynamicBatcher(pred) as dyn:
         with pytest.raises(ValueError):
             dyn.submit(np.zeros((1, 8, 8, 3), np.float32))
+
+
+# ------------------------------------------------------------- uint8 wire
+def test_predictor_u8_wire_matches_f32(served, rng):
+    """wire='u8' results equal the f32 predictor fed images/255."""
+    from two_stage_object_detection_tpu.serving import Predictor as P
+    cfg, state = served
+    u8 = rng.randint(0, 256, (2, *cfg.input_size, 3)).astype(np.uint8)
+    pred_f = P(cfg, state.params, state.batch_stats, batch_sizes=(2,))
+    pred_u = P(cfg, state.params, state.batch_stats, batch_sizes=(2,),
+               wire="u8")
+    want = pred_f(u8.astype(np.float32) / 255.0)
+    got = pred_u(u8)
+    for k in ("boxes", "scores", "labels", "valid"):
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-5, atol=1e-5)
+
+
+def test_predictor_u8_wire_rejects_float(served, rng):
+    from two_stage_object_detection_tpu.serving import Predictor as P
+    cfg, state = served
+    pred = P(cfg, state.params, state.batch_stats, batch_sizes=(1,),
+             wire="u8")
+    with pytest.raises(ValueError):
+        pred(_images(rng, 1, cfg))
+    with pytest.raises(ValueError):
+        P(cfg, state.params, state.batch_stats, wire="u16")
+
+
+def test_predictor_u8_dynamic_batcher(served, rng):
+    """u8 wire composes with the DynamicBatcher."""
+    from two_stage_object_detection_tpu.serving import (DynamicBatcher,
+                                                        Predictor as P)
+    cfg, state = served
+    pred = P(cfg, state.params, state.batch_stats, batch_sizes=(1, 4),
+             wire="u8")
+    u8 = rng.randint(0, 256, (3, *cfg.input_size, 3)).astype(np.uint8)
+    want = pred(u8)
+    with DynamicBatcher(pred, max_wait_ms=20.0) as dyn:
+        outs = [f.result(timeout=60)
+                for f in [dyn.submit(u8[i]) for i in range(3)]]
+    for i, out in enumerate(outs):
+        np.testing.assert_allclose(out["boxes"], want["boxes"][i:i + 1],
+                                   rtol=1e-5, atol=1e-5)

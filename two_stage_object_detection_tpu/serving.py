@@ -80,19 +80,27 @@ class Predictor:
         cost-proportional-to-size heuristic.  Bucket cost is not monotone
         in size (hardnet39s b=2 measures 7.8 ms vs b=1's 11.8 on v5e), so
         calibration lets e.g. single-image requests pad into a
-        faster larger bucket automatically.
+        faster larger bucket automatically.  Timed via ``device_get`` of
+        the outputs with host-side inputs, so the measurement includes
+        the request's real upload+execute+download roundtrip.
+      wire: ``"f32"`` (default — [0,1] float images) or ``"u8"``
+        ([0,255] uint8 images, converted to floats ON DEVICE).  u8 ships
+        4x fewer host->device bytes — the serving twin of training's
+        ``transfer_uint8`` — which dominates request cost when the
+        host->device link, not the TPU, is the bottleneck.
     """
 
     def __init__(self, cfg: Config, params, batch_stats,
                  batch_sizes: Sequence[int] = (1, 8, 16),
                  mesh=None, spatial: bool = False, dtype=jnp.float32,
-                 int8_scales=None, calibrate: bool = False):
+                 int8_scales=None, calibrate: bool = False,
+                 wire: str = "f32"):
         self.cfg = cfg
         self.batch_sizes = tuple(sorted(set(int(b) for b in batch_sizes)))
         if not self.batch_sizes:
             raise ValueError("need at least one batch size")
         self.mesh = mesh
-        self.dtype = dtype
+        self.wire = wire
         h, w = cfg.input_size
         self._fn = _predict_fn(cfg)
         if int8_scales:
@@ -100,6 +108,24 @@ class Predictor:
             # (see quantize.py); calibrate with quantize.calibrate().
             from two_stage_object_detection_tpu.quantize import quantized
             self._fn = quantized(self._fn, int8_scales)
+        if wire == "u8":
+            # uint8 wire format (the serving twin of training's
+            # ``transfer_uint8``, data/pipeline.py): requests ship [0,255]
+            # uint8 pixels — 4x fewer host->device bytes, which DOMINATES
+            # request cost on bandwidth-limited links (measured on the
+            # tunneled dev runtime: the f32 image wire swamps dispatch) —
+            # and the [0,1] float conversion happens on device.
+            base = self._fn
+
+            def _u8_fn(params, batch_stats, images):
+                return base(params, batch_stats,
+                            images.astype(jnp.float32) / 255.0)
+
+            self._fn = _u8_fn
+            dtype = jnp.uint8
+        elif wire != "f32":
+            raise ValueError(f"wire must be 'f32' or 'u8', got {wire!r}")
+        self.dtype = dtype
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -149,12 +175,22 @@ class Predictor:
             import time as _time
             self._bucket_ms = {}
             for b in self.batch_sizes:
-                imgs = jnp.zeros((b, h, w, 3), dtype)
-                jax.block_until_ready(self._run_bucket(b, imgs))   # warm
+                # HOST array: each timed call then also pays the image
+                # upload, which scales with b and can dominate on
+                # bandwidth-limited links (the wire='u8' rationale)
+                imgs = np.zeros(
+                    (b, h, w, 3),
+                    np.uint8 if self.wire == "u8" else np.float32)
+                jax.device_get(self._run_bucket(b, imgs))          # warm
                 times = []
                 for _ in range(3):
                     t0 = _time.perf_counter()
-                    jax.block_until_ready(self._run_bucket(b, imgs))
+                    # device_get, NOT block_until_ready: remote runtimes
+                    # (the axon tunnel) ack readiness before execution
+                    # finishes, which flattens every bucket to ~0.4 ms and
+                    # breaks measured-cost routing; fetching the outputs
+                    # forces the true roundtrip a request actually pays
+                    jax.device_get(self._run_bucket(b, imgs))
                     times.append(_time.perf_counter() - t0)
                 self._bucket_ms[b] = min(times) * 1e3
 
@@ -236,15 +272,19 @@ class Predictor:
             raise ValueError(
                 f"expected [N, {h}, {w}, 3] images, got {images.shape}; "
                 "serving shapes are static — resize/letterbox on ingest")
+        wire_np = np.uint8 if self.wire == "u8" else np.float32
+        if self.wire == "u8" and images.dtype != np.uint8:
+            # silently truncating [0,1] floats to uint8 zeros would corrupt
+            raise ValueError("wire='u8' Predictor takes uint8 [0,255] images")
 
         outs = []
         i = 0
         for bucket in self._plan(n):
             take = min(n - i, bucket)
-            chunk = images[i:i + take].astype(np.float32)
+            chunk = images[i:i + take].astype(wire_np)
             if take < bucket:
                 chunk = np.concatenate(
-                    [chunk, np.zeros((bucket - take, h, w, 3), np.float32)])
+                    [chunk, np.zeros((bucket - take, h, w, 3), wire_np)])
             res = self._run_bucket(bucket, jnp.asarray(chunk, self.dtype))
             outs.append(tuple(np.asarray(r)[:take] for r in res))
             i += take
