@@ -347,10 +347,10 @@ def bench_trainloop(batch=16, steps=24):
         # (caught at batch=64 on the default 128-image set: 2-row epochs
         # measured 4x too fast) — _bench_data_root is sized above, and
         # this guard keeps the accounting honest regardless
-        assert len(loader.epoch_indices()) >= fused_k, \
+        idx = loader.epoch_indices()
+        assert len(idx) >= fused_k, \
             f"bench dataset holds < {fused_k} batches of {batch}"
-        done, last, idx = 0, None, loader.epoch_indices()
-        c = 0
+        done, last, c = 0, None, 0
         while done < n:
             if c + fused_k > len(idx):
                 idx, c = loader.epoch_indices(), 0

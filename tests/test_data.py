@@ -216,3 +216,49 @@ def test_loader_multihost_sharding(synth):
     assert batches[0]["image"].shape == (2, 32, 32, 3)
     with pytest.raises(ValueError):
         Loader(ds, batch_size=2, shard_count=2, shard_index=2)
+
+
+def test_epoch_order_ragged_shards_equal_length():
+    """Ragged datasets shard to EQUAL lengths (tail dropped, rotating with
+    the shuffle): unequal shards would desync collective step counts
+    across processes (round-3 review finding)."""
+    from two_stage_object_detection_tpu.data.pipeline import epoch_order
+    a = epoch_order(7, epoch=0, seed=3, shuffle=True, shard_count=2,
+                    shard_index=0)
+    b = epoch_order(7, epoch=0, seed=3, shuffle=True, shard_count=2,
+                    shard_index=1)
+    assert len(a) == len(b) == 3                        # 7 -> 6 usable
+    assert not set(a.tolist()) & set(b.tolist())        # still disjoint
+    # the dropped sample rotates: over epochs everything is seen
+    seen = set(a.tolist()) | set(b.tolist())
+    for e in range(1, 8):
+        seen |= set(epoch_order(7, e, 3, True, 2, 0).tolist())
+        seen |= set(epoch_order(7, e, 3, True, 2, 1).tolist())
+    assert seen == set(range(7))
+    # n < shard_count: every process keeps the full order (equal steps)
+    t0 = epoch_order(2, 0, 3, False, shard_count=4, shard_index=0)
+    t3 = epoch_order(2, 0, 3, False, shard_count=4, shard_index=3)
+    np.testing.assert_array_equal(t0, t3)
+
+
+def test_loader_len_equal_across_ragged_shards(synth):
+    """len(Loader) agrees across shards so schedules stay in lockstep."""
+    ann, img_dir = synth
+    index = load_coco(ann, img_dir)
+    ds = DetectionDataset(index, input_size=(32, 32), max_gt=5, train=False)
+    lens = {len(Loader(ds, batch_size=2, num_workers=1, shard_count=4,
+                       shard_index=i)) for i in range(4)}
+    assert len(lens) == 1
+
+
+def test_dataset_pickles_with_cache_lock(synth):
+    """The byte-cap lock must not break spawn-mode worker pickling."""
+    import pickle
+    ann, img_dir = synth
+    index = load_coco(ann, img_dir)
+    ds = DetectionDataset(index, input_size=(32, 32), max_gt=5, train=False,
+                          cache=True)
+    ds2 = pickle.loads(pickle.dumps(ds))
+    assert ds2._cache_lock is not None
+    out = ds2.get(0, 0)
+    assert out["image"].shape == (32, 32, 3)

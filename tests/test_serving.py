@@ -279,3 +279,40 @@ def test_predictor_u8_dynamic_batcher(served, rng):
     for i, out in enumerate(outs):
         np.testing.assert_allclose(out["boxes"], want["boxes"][i:i + 1],
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_dynamic_batcher_survives_cancelled_future(served, rng):
+    """A client-cancelled future must not kill the worker thread
+    (set_result on a cancelled future raises InvalidStateError): later
+    requests still complete (round-3 review finding)."""
+    from two_stage_object_detection_tpu.serving import DynamicBatcher
+    cfg, state = served
+    pred = Predictor(cfg, state.params, state.batch_stats, batch_sizes=(4,))
+    with DynamicBatcher(pred, max_wait_ms=200.0) as dyn:
+        doomed = dyn.submit(_images(rng, 1, cfg))
+        assert doomed.cancel()
+        live = dyn.submit(_images(rng, 2, cfg))
+        out = live.result(timeout=60)
+        assert out["boxes"].shape == (2, cfg.max_detections, 4)
+    assert doomed.cancelled()
+
+
+def test_dynamic_batcher_rejects_wrong_dtype(served, rng):
+    """Per-request dtype validation: one bad submit must not poison the
+    collated flush for everyone else."""
+    from two_stage_object_detection_tpu.serving import (DynamicBatcher,
+                                                        Predictor as P)
+    cfg, state = served
+    pred_f = P(cfg, state.params, state.batch_stats, batch_sizes=(1,))
+    pred_u = P(cfg, state.params, state.batch_stats, batch_sizes=(1,),
+               wire="u8")
+    u8 = rng.randint(0, 256, (1, *cfg.input_size, 3)).astype(np.uint8)
+    with DynamicBatcher(pred_f) as dyn:
+        with pytest.raises(ValueError):
+            dyn.submit(u8)
+    with DynamicBatcher(pred_u) as dyn:
+        with pytest.raises(ValueError):
+            dyn.submit(_images(rng, 1, cfg))
+    # direct f32 Predictor also refuses uint8 (255x-scaled pixels)
+    with pytest.raises(ValueError):
+        pred_f(u8)

@@ -74,3 +74,12 @@ def test_auto_mesh_spatial_shapes():
     assert dict(m1.shape) == {"data": 1, "model": 8}
     m16 = auto_mesh_spatial(16)
     assert dict(m16.shape) == {"data": 8, "model": 1}
+
+
+def test_auto_mesh_spatial_uses_all_devices():
+    """data axis must also divide the device count: batch 6 on 8 devices
+    is (2, 4) — all chips used, spatial axis alive — not (6, 1) with two
+    chips idle and spatial silently disabled (round-3 review finding)."""
+    m = auto_mesh_spatial(6)
+    assert dict(m.shape) == {"data": 2, "model": 4}
+    assert len(m.devices.flatten()) == 8

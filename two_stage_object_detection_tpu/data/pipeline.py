@@ -65,17 +65,35 @@ class DetectionDataset:
         self._cache = {} if cache else None
         self._cache_bytes = 0
         self.cache_max_bytes = cache_max_bytes
+        self._cache_lock = threading.Lock()
         # wire format: emit images as u8 [0,255]; the jitted steps convert
         # to f32 on device (Config.transfer_uint8) — 4x less host->device
         # traffic, <=1/510 per-pixel quantisation
         self.uint8_images = uint8_images
 
+    def __getstate__(self):
+        # locks don't pickle (spawn-mode process workers ship the dataset);
+        # each worker process gets its own lock + private cache anyway
+        d = self.__dict__.copy()
+        d["_cache_lock"] = None
+        return d
+
+    def __setstate__(self, d):
+        self.__dict__.update(d)
+        self._cache_lock = threading.Lock()
+
     def _cache_put(self, i: int, value, nbytes: int) -> None:
-        # dict assignment is atomic under the GIL; worker threads share the
-        # cache, process workers each hold their own copy (documented).
-        if self._cache is not None and self._cache_bytes + nbytes <= self.cache_max_bytes:
-            self._cache[i] = value
-            self._cache_bytes += nbytes
+        # the lock makes the byte-cap check-then-add atomic: concurrent
+        # loader workers could otherwise all pass the check before any
+        # adds, overshooting cache_max_bytes by up to num_workers samples
+        # (and the unlocked += lost updates, under-counting).  Process
+        # workers each hold their own copy (documented).
+        if self._cache is None:
+            return
+        with self._cache_lock:
+            if self._cache_bytes + nbytes <= self.cache_max_bytes:
+                self._cache[i] = value
+                self._cache_bytes += nbytes
 
     def __len__(self):
         return len(self.index.records)
@@ -117,7 +135,10 @@ class DetectionDataset:
         boxes = rec["boxes"] * np.array([w1 / ow, h1 / oh, w1 / ow, h1 / oh],
                                         np.float32)
         boxes, labels = sanitize_boxes(boxes, rec["labels"], self.input_size)
-        if i is not None:
+        # quantize only when a cache exists to receive it: without the
+        # _cache guard every no-cache access paid a full-image
+        # rint+clip+astype (~1.1M px) just to throw the result away
+        if self._cache is not None and i is not None:
             u8 = np.clip(np.rint(img * 255.0), 0, 255).astype(np.uint8)
             self._cache_put(i, (u8, boxes, labels), u8.nbytes + boxes.nbytes)
         return img, boxes, labels
@@ -173,11 +194,21 @@ def epoch_order(n: int, epoch: int, seed: int, shuffle: bool,
     Every host shuffles the SAME seeded global permutation and takes a
     disjoint strided slice, so across ``shard_count`` processes each epoch
     covers the dataset exactly once with no coordination traffic.  Short
-    orders are tiled up to ``min_len`` (one full batch)."""
+    orders are tiled up to ``min_len`` (one full batch).
+
+    Shards are EQUAL length: the tail remainder (< shard_count samples) is
+    dropped each epoch so every process dispatches the same number of
+    collective train steps — a ragged shard would leave one process
+    issuing a step its peers never join (SPMD hang).  The dropped tail
+    rotates with the shuffle, so over epochs coverage is still complete.
+    When ``n < shard_count`` every process keeps the full (tiny) order —
+    duplicated samples, but aligned step counts."""
     order = np.arange(n)
     if shuffle:
         np.random.RandomState(seed + epoch).shuffle(order)
-    order = order[shard_index::shard_count]
+    if shard_count > 1 and n >= shard_count:
+        usable = (n // shard_count) * shard_count
+        order = order[:usable][shard_index::shard_count]
     if len(order) < min_len:
         order = np.resize(order, min_len)
     return order
@@ -278,8 +309,11 @@ class Loader:
             pass
 
     def __len__(self):
-        n_shard = len(range(self.shard_index, len(self.dataset),
-                            self.shard_count))
+        # mirrors epoch_order's equal-shard contract: every process sees
+        # the same batch count, so schedules/loops stay in lockstep
+        n = len(self.dataset)
+        n_shard = (n // self.shard_count
+                   if self.shard_count > 1 and n >= self.shard_count else n)
         return max(n_shard // self.batch_size, 1)
 
     def _epoch_order(self):

@@ -88,7 +88,12 @@ def auto_mesh_spatial(batch_size: int, devices=None) -> Optional[Mesh]:
     n = len(devices)
     if n <= 1:
         return None
-    n_data = max(d for d in range(1, n + 1) if batch_size % d == 0 and d <= n)
+    # largest divisor of batch_size that ALSO divides the device count:
+    # greedily maximising data alone can strand chips AND kill the spatial
+    # axis (batch 6 on 8 chips -> (6,1): 2 idle, no height sharding;
+    # this picks (2,4): all 8 chips, spatial stays active)
+    n_data = max(d for d in range(1, n + 1)
+                 if batch_size % d == 0 and n % d == 0)
     n_model = n // n_data
     return make_mesh(n_data=n_data, n_model=n_model, devices=devices)
 

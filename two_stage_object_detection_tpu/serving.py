@@ -276,6 +276,11 @@ class Predictor:
         if self.wire == "u8" and images.dtype != np.uint8:
             # silently truncating [0,1] floats to uint8 zeros would corrupt
             raise ValueError("wire='u8' Predictor takes uint8 [0,255] images")
+        if self.wire == "f32" and images.dtype == np.uint8:
+            # and u8 cast to 0-255 floats would silently feed 255x-scaled
+            # pixels to a model expecting [0,1]
+            raise ValueError("f32 Predictor takes [0,1] float images "
+                             "(use wire='u8' for uint8 requests)")
 
         outs = []
         i = 0
@@ -346,6 +351,18 @@ class DynamicBatcher:
         if images.shape[1:] != (h, w, 3):
             raise ValueError(
                 f"expected [N, {h}, {w}, 3] images, got {images.shape}")
+        # dtype-check PER REQUEST: flushes concatenate across requests, so
+        # one wrong-dtype submission would otherwise promote the whole
+        # collated batch and poison every co-batched request
+        if self._pred.wire == "u8":
+            if images.dtype != np.uint8:
+                raise ValueError("wire='u8' batcher takes uint8 images")
+        else:
+            if images.dtype == np.uint8:
+                raise ValueError(
+                    "f32 batcher takes [0,1] float images "
+                    "(use Predictor(wire='u8') for uint8 requests)")
+            images = images.astype(np.float32, copy=False)
         fut = concurrent.futures.Future()
         with self._lock:
             if self._closing:
@@ -391,15 +408,24 @@ class DynamicBatcher:
             self._flush(batch)
 
     def _flush(self, batch):
-        images = np.concatenate([b[0] for b in batch])
+        # claim each future first: a client may have cancel()ed a pending
+        # future, and set_result on a cancelled future raises
+        # InvalidStateError — which would kill this (only) worker thread
+        # and deadlock every later submit.  Claimed (RUNNING) futures
+        # can't be cancelled, so the set_* calls below are safe; cancelled
+        # requests drop out of the collation entirely.
+        live = [b for b in batch if b[2].set_running_or_notify_cancel()]
+        if not live:
+            return
+        images = np.concatenate([b[0] for b in live])
         try:
             out = self._pred(images)
-        except Exception as e:                     # pragma: no cover
-            for _, _, fut, _ in batch:
+        except Exception as e:
+            for _, _, fut, _ in live:
                 fut.set_exception(e)
             return
         i = 0
-        for _, n, fut, _ in batch:
+        for _, n, fut, _ in live:
             fut.set_result({k: v[i:i + n] for k, v in out.items()})
             i += n
 
