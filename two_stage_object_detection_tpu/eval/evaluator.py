@@ -20,6 +20,7 @@ from two_stage_object_detection_tpu.config import Config
 from two_stage_object_detection_tpu.eval.metrics import compute_map
 from two_stage_object_detection_tpu.nets.trainer import (
     TrainState, eval_step, predict_step)
+from two_stage_object_detection_tpu.parallel.multiprocess import fetch_global
 
 
 def _per_class_nms_host(boxes, scores, labels, num_classes, iou_threshold):
@@ -137,13 +138,17 @@ def collect_predictions(state: TrainState, loader: Iterable, cfg: Config,
     for bi, batch in enumerate(loader):
         if max_batches is not None and bi >= max_batches:
             break
+        # fetch_global (= device_get single-process): on a multi-controller
+        # run the predictions are sharded over other processes' chips, so
+        # they are all-gathered — every process scores the SAME full eval
+        # set and the best-checkpoint decision stays bitwise identical
         if use_predict:
-            boxes, scores, labels, valid = jax.device_get(
+            boxes, scores, labels, valid = fetch_global(
                 predict_step(state, batch["image"]))
             out_losses = None
         else:
             out = eval_step(state, batch, jax.random.PRNGKey(bi))
-            out = jax.device_get(out)
+            out = fetch_global(out)
             loss_total += float(out["losses"]["total"])
             boxes = out["boxes_pred"]
             scores = out["classes_score_pred"]
@@ -151,9 +156,8 @@ def collect_predictions(state: TrainState, loader: Iterable, cfg: Config,
             valid = out["pred_valid"]
         n_batches += 1
 
-        gt_boxes = np.asarray(batch["boxes"])
-        gt_labels = np.asarray(batch["labels"])
-        gt_valid = np.asarray(batch["valid"])
+        gt_boxes, gt_labels, gt_valid = fetch_global(
+            (batch["boxes"], batch["labels"], batch["valid"]))
 
         for i in range(boxes.shape[0]):
             _append_sample(preds, gts, boxes[i], scores[i], labels[i],

@@ -37,13 +37,16 @@ log = logging.getLogger(__name__)
 
 
 def build_loaders(cfg: Config, data_root: str = "data", device_put=None,
-                  mesh=None, spatial: bool = False):
+                  mesh=None, spatial: bool = False, eval_device_put=None):
     """COCO loaders following the reference's path layout
     (``dataset/data_organise.py:13-15``: ``data/annotations/instances_{split}2017.json``).
 
     ``device_put``: placement callable for produced batches (defaults to
     single-device ``jax.device_put``; ``train`` passes a mesh-sharding one
-    on multi-device backends)."""
+    on multi-device backends).  ``eval_device_put`` overrides placement for
+    the eval loader — multi-process runs need it because eval batches are
+    the SAME full batch on every process (``shard_batch(local=False)``)
+    while train batches are disjoint per-process shards."""
     train_idx = load_coco(
         os.path.join(data_root, "annotations", "instances_train2017.json"),
         os.path.join(data_root, "train2017"), ratio=cfg.train_ratio)
@@ -69,11 +72,11 @@ def build_loaders(cfg: Config, data_root: str = "data", device_put=None,
     # iterates the full eval set so mAP/eval_loss — and the best-checkpoint
     # decision keyed on them — are bitwise identical across processes
     # (divergent per-shard metrics would race the _best checkpoint).
-    mk = lambda ds, sh, shards: Loader(
+    mk = lambda ds, sh, shards, put=None: Loader(
         ds, cfg.batch_size, shuffle=sh,
         num_workers=cfg.num_workers,
         prefetch=cfg.prefetch_factor,
-        device_put=device_put or jax.device_put,
+        device_put=put or device_put or jax.device_put,
         worker_mode=cfg.worker_mode,
         persistent_workers=cfg.persistent_workers,
         shard_count=jax.process_count() if shards else 1,
@@ -119,7 +122,8 @@ def build_loaders(cfg: Config, data_root: str = "data", device_put=None,
         except MemoryError as e:
             log.warning("cache_device: %s — falling back to streaming Loader",
                         e)
-    return mk(train_ds, True, True), mk(eval_ds, False, False), eval_idx
+    return (mk(train_ds, True, True),
+            mk(eval_ds, False, False, put=eval_device_put), eval_idx)
 
 
 def train(visualization: bool = True, cfg: Optional[Config] = None,
@@ -148,6 +152,12 @@ def train(visualization: bool = True, cfg: Optional[Config] = None,
     ``pre_train`` keeps its reference semantics (best-ckpt weights only,
     fresh optimiser, ``train/train.py:60-72``).
     """
+    # env-driven multi-controller bring-up (JAX_COORDINATOR_ADDRESS etc.);
+    # no-op on a single-process run or when already initialised.  Must
+    # precede any other jax use so the backend sees the global topology.
+    from two_stage_object_detection_tpu.parallel.multiprocess import (
+        init_distributed)
+    init_distributed()
     cfg = cfg or load_config()
     set_seed(seed)
     rng = jax.random.PRNGKey(seed)
@@ -156,18 +166,26 @@ def train(visualization: bool = True, cfg: Optional[Config] = None,
         mesh = (auto_mesh_spatial(cfg.batch_size) if spatial
                 else auto_mesh(cfg.batch_size))
     spatial = spatial and mesh is not None and mesh.shape.get("model", 1) > 1
+    eval_put = None
     if mesh is not None:
         put = lambda batch: (shard_batch_spatial(batch, mesh) if spatial
                              else shard_batch(batch, mesh))
-        log.info("training on %d devices, mesh=%s%s",
-                 mesh.devices.size, dict(mesh.shape),
+        # eval batches are the SAME full batch on every process (the eval
+        # loader is unsharded so metrics/best-ckpt decisions agree), so
+        # multi-process placement slices rather than concatenates
+        eval_put = lambda batch: (
+            shard_batch_spatial(batch, mesh, local=False) if spatial
+            else shard_batch(batch, mesh, local=False))
+        log.info("training on %d devices (%d processes), mesh=%s%s",
+                 mesh.devices.size, jax.process_count(), dict(mesh.shape),
                  " (spatial: image height over 'model')" if spatial else "")
     else:
         put = jax.device_put
 
     train_loader, eval_loader, _ = build_loaders(cfg, data_root,
                                                  device_put=put, mesh=mesh,
-                                                 spatial=spatial)
+                                                 spatial=spatial,
+                                                 eval_device_put=eval_put)
     steps_per_epoch = max(len(train_loader), 1)
 
     rng, init_rng = jax.random.split(rng)
@@ -244,8 +262,11 @@ def train(visualization: bool = True, cfg: Optional[Config] = None,
         # the disk write overlaps the next epoch's steps (crash-resume
         # saves need no read-after-write; the final save below waits)
         ckpt.save_checkpoint(weights_dir, state, name=ckpt.LAST, wait=False)
-        with open(meta_path, "w") as f:
-            json.dump({"min_eval_loss": min_eval_loss}, f)
+        # the sidecar is identical on every process (eval is unsharded and
+        # deterministic) — process 0 writes to avoid interleaved writers
+        if jax.process_index() == 0:
+            with open(meta_path, "w") as f:
+                json.dump({"min_eval_loss": min_eval_loss}, f)
 
     from two_stage_object_detection_tpu.data.device_cache import (
         DeviceDatasetCache)

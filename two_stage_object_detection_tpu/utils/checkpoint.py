@@ -43,10 +43,16 @@ def save_checkpoint(path: str, state: Any, name: str = LAST,
     or before restoring).
     """
     global _inflight
+    from two_stage_object_detection_tpu.parallel.multiprocess import (
+        fetch_global)
     full = os.path.abspath(os.path.join(path, name))
     wait_for_saves()                     # one async save in flight at a time
     ckptr = _ckptr()
-    ckptr.save(full, jax.device_get(state), force=True)
+    # fetch_global: on a multi-controller run, arrays sharded across other
+    # processes are all-gathered so every process hands Orbax the same
+    # full host tree (all processes MUST call save — Orbax coordinates
+    # internally and writes replicated host data from process 0)
+    ckptr.save(full, fetch_global(state), force=True)
     if wait:
         ckptr.wait_until_finished()
     else:
@@ -69,11 +75,13 @@ def restore_checkpoint(path: str, target: Any, name: str = BEST,
     ``params_only`` mirrors the reference's ``pre_train=True`` behaviour
     (weights restored, optimiser state fresh — ``train/train.py:60-72``).
     """
+    from two_stage_object_detection_tpu.parallel.multiprocess import (
+        fetch_global)
     wait_for_saves()                    # a pending async save may be this file
     full = os.path.abspath(os.path.join(path, name))
     if not os.path.exists(full):
         return None
-    restored = _ckptr().restore(full, jax.device_get(target))
+    restored = _ckptr().restore(full, fetch_global(target))
     if params_only:
         return target.replace(params=restored.params,
                               batch_stats=restored.batch_stats)
