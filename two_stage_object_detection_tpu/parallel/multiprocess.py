@@ -131,6 +131,11 @@ def fetch_global(tree: Any) -> Any:
 
     def fetch(x):
         if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            # fully-replicated arrays (params, opt state, losses) read the
+            # local replica — no communication; only genuinely sharded
+            # data (eval predictions) pays the all-gather
+            if x.is_fully_replicated:
+                return np.asarray(x)
             return np.asarray(multihost_utils.process_allgather(x, tiled=True))
         return jax.device_get(x)
 

@@ -162,6 +162,15 @@ def train(visualization: bool = True, cfg: Optional[Config] = None,
     set_seed(seed)
     rng = jax.random.PRNGKey(seed)
 
+    if spatial and jax.process_count() > 1:
+        # spatial sharding is single-controller: the model axis carries
+        # image rows, and auto_mesh_spatial has no process-balanced
+        # layout (put_local would scatter one process's rows across
+        # hosts).  Data parallelism composes with multi-process instead.
+        log.warning("spatial=True is single-controller only "
+                    "(process_count=%d) — using data parallelism",
+                    jax.process_count())
+        spatial = False
     if mesh == "auto":
         mesh = (auto_mesh_spatial(cfg.batch_size) if spatial
                 else auto_mesh(cfg.batch_size))
