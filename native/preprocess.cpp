@@ -14,6 +14,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <csetjmp>
+#include <cmath>
 
 #include <jpeglib.h>
 #include <png.h>
@@ -329,6 +330,42 @@ int decode_into(const uint8_t* data, size_t len, uint8_t* dst,
   memcpy(dst, rgb, need);
   free(rgb);
   return 0;
+}
+
+// Pack RGB u8 HWC into the serving yuv420 wire layout (serving.py
+// rgb_to_yuv420): rows 0..h are full-res BT.601 luma, rows h..h+h/2 hold
+// the 2x2 box-averaged chroma planes side by side (Cb | Cr), bias 128.
+// ~10x the 1-core numpy pack; h and w must be even (validated in Python).
+void rgb_to_yuv420_u8(const uint8_t* rgb, int h, int w, uint8_t* out) {
+  uint8_t* yp = out;
+  uint8_t* up = out + size_t(h) * w;
+  uint8_t* vp = up + w / 2;
+  for (int y = 0; y < h; y += 2) {
+    const uint8_t* r0 = rgb + size_t(y) * w * 3;
+    const uint8_t* r1 = r0 + size_t(w) * 3;
+    uint8_t* y0 = yp + size_t(y) * w;
+    uint8_t* y1 = y0 + w;
+    uint8_t* urow = up + size_t(y / 2) * w;   // row stride of the chroma
+    uint8_t* vrow = vp + size_t(y / 2) * w;   // block is w (U and V split it)
+    for (int x = 0; x < w; x += 2) {
+      float usum = 0.f, vsum = 0.f;
+      const uint8_t* px[4] = {r0 + x * 3, r0 + (x + 1) * 3,
+                              r1 + x * 3, r1 + (x + 1) * 3};
+      uint8_t* yd[4] = {y0 + x, y0 + x + 1, y1 + x, y1 + x + 1};
+      for (int k = 0; k < 4; ++k) {
+        float R = px[k][0], G = px[k][1], B = px[k][2];
+        float Y = 0.299f * R + 0.587f * G + 0.114f * B;
+        usum += -0.168736f * R - 0.331264f * G + 0.5f * B;
+        vsum += 0.5f * R - 0.418688f * G - 0.081312f * B;
+        float yr = std::rintf(Y);
+        *yd[k] = (uint8_t)(yr < 0.f ? 0.f : (yr > 255.f ? 255.f : yr));
+      }
+      float u = std::rintf(usum * 0.25f + 128.f);
+      float v = std::rintf(vsum * 0.25f + 128.f);
+      urow[x / 2] = (uint8_t)(u < 0.f ? 0.f : (u > 255.f ? 255.f : u));
+      vrow[x / 2] = (uint8_t)(v < 0.f ? 0.f : (v > 255.f ? 255.f : v));
+    }
+  }
 }
 
 // Horizontal flip in place on float32 HWC.

@@ -47,7 +47,7 @@ def run_load(pred, n_requests, n_clients, submit):
 
     rng = np.random.RandomState(0)
     h, w = pred.cfg.input_size
-    if pred.wire == "u8":
+    if pred.wire in ("u8", "yuv420"):
         imgs = rng.randint(0, 256, (8, 1, h, w, 3), dtype=np.uint8)
     else:
         imgs = rng.rand(8, 1, h, w, 3).astype(np.float32)
@@ -95,7 +95,12 @@ def main():
     # warm both paths once
     run_load(pred, 16, 4, lambda im: pred(im))
     out = {"n_requests": n_requests, "n_clients": n_clients,
-           "backbone": cfg.backbone, "wire": wire}
+           "backbone": cfg.backbone, "wire": wire,
+           # calibrated per-bucket request roundtrip (upload+run+download):
+           # the stable wire-cost evidence — loaded req/s also rides the
+           # shared tunnel's minute-to-minute weather
+           "bucket_roundtrip_ms": {
+               k: round(v, 1) for k, v in pred._bucket_ms.items()}}
 
     lat, wall = run_load(pred, n_requests, n_clients, lambda im: pred(im))
     out["direct"] = stats("direct", lat, wall, n_requests)
@@ -112,7 +117,7 @@ def main():
         path = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "BENCH_DETAILS.json")
         detail = json.load(open(path)) if os.path.exists(path) else {}
-        detail["serve_dynamic" + ("_u8" if wire == "u8" else "")] = out
+        detail["serve_dynamic" + ("" if wire == "f32" else f"_{wire}")] = out
         with open(path, "w") as f:
             json.dump(detail, f, indent=2)
         print("recorded -> BENCH_DETAILS.json serve_dynamic")

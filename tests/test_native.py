@@ -73,3 +73,25 @@ def test_scaled_jpeg_decode_resize(tmp_path):
     # DCT-domain lowpass vs triangle filter differ slightly in passband
     assert np.abs(arr - ref).mean() < 0.01
     assert np.abs(arr - ref).max() < 0.08
+
+
+def test_native_yuv420_pack_matches_numpy():
+    """The C++ yuv420 pack agrees with the numpy pack to the +-1 LSB of
+    float summation-order rounding (serving's wire is deterministic given
+    the packed planes, so pack agreement bounds end-to-end divergence)."""
+    if not native.available() or native.rgb_to_yuv420(
+            np.zeros((1, 2, 2, 3), np.uint8)) is None:
+        pytest.skip("native library (or symbol) unavailable")
+    from two_stage_object_detection_tpu.serving import _YUV_FWD
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (2, 16, 20, 3)).astype(np.uint8)
+    nat = native.rgb_to_yuv420(img)
+    n, h, w, _ = img.shape
+    yuv = img.astype(np.float32) @ _YUV_FWD.T
+    ref = np.empty((n, h + h // 2, w), np.uint8)
+    ref[:, :h, :] = np.clip(np.rint(yuv[..., 0]), 0, 255).astype(np.uint8)
+    uv = yuv[:, :, :, 1:].reshape(n, h // 2, 2, w // 2, 2, 2).mean((2, 4))
+    uv = np.clip(np.rint(uv + 128.0), 0, 255).astype(np.uint8)
+    ref[:, h:, : w // 2] = uv[..., 0]
+    ref[:, h:, w // 2:] = uv[..., 1]
+    assert np.abs(nat.astype(np.int16) - ref.astype(np.int16)).max() <= 1

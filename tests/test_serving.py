@@ -316,3 +316,82 @@ def test_dynamic_batcher_rejects_wrong_dtype(served, rng):
     # direct f32 Predictor also refuses uint8 (255x-scaled pixels)
     with pytest.raises(ValueError):
         pred_f(u8)
+
+
+# ------------------------------------------------------------ yuv420 wire
+def test_yuv420_pack_unpack_reference_roundtrip(served, rng):
+    """Host pack -> device unpack equals the numpy reference unpack, and
+    the reconstruction is lossless (to u8 rounding) on images whose chroma
+    is constant per 2x2 block — i.e. on anything a 4:2:0 JPEG produced."""
+    from two_stage_object_detection_tpu.serving import (
+        _yuv420_unpack, rgb_to_yuv420, yuv420_to_rgb_reference)
+    cfg, _ = served
+    h, w = cfg.input_size
+    u8 = rng.randint(0, 256, (2, h, w, 3)).astype(np.uint8)
+    packed = rgb_to_yuv420(u8)
+    assert packed.shape == (2, h + h // 2, w) and packed.dtype == np.uint8
+    ref = yuv420_to_rgb_reference(packed, h, w)
+    dev = np.asarray(jax.jit(
+        lambda p: _yuv420_unpack(p, h, w))(jnp.asarray(packed)))
+    np.testing.assert_allclose(dev, ref, rtol=0, atol=1e-6)
+
+    # 4:2:0-subsampled content: upscale a half-res image 2x (every 2x2
+    # block constant, so the box-averaged chroma is exact) and check the
+    # wire is transparent up to the +-2/255 of two u8 roundings
+    small = rng.randint(0, 256, (1, h // 2, w // 2, 3)).astype(np.uint8)
+    blocky = np.repeat(np.repeat(small, 2, axis=1), 2, axis=2)
+    rec = yuv420_to_rgb_reference(rgb_to_yuv420(blocky), h, w)
+    assert np.abs(rec * 255.0 - blocky.astype(np.float32)).max() <= 2.0
+
+
+def test_predictor_yuv420_wire_matches_f32_on_reconstruction(served, rng):
+    """wire='yuv420' results equal the f32 predictor fed the reference
+    reconstruction of the same packed planes (the wire is deterministic:
+    whatever chroma subsampling discards, both paths see identical
+    pixels)."""
+    from two_stage_object_detection_tpu.serving import (
+        Predictor as P, rgb_to_yuv420, yuv420_to_rgb_reference)
+    cfg, state = served
+    h, w = cfg.input_size
+    u8 = rng.randint(0, 256, (2, h, w, 3)).astype(np.uint8)
+    packed = rgb_to_yuv420(u8)
+    pred_f = P(cfg, state.params, state.batch_stats, batch_sizes=(2,))
+    pred_y = P(cfg, state.params, state.batch_stats, batch_sizes=(2,),
+               wire="yuv420")
+    want = pred_f(yuv420_to_rgb_reference(packed, h, w))
+    got_rgb = pred_y(u8)            # RGB request, packed internally
+    got_packed = pred_y(packed)     # pre-packed planes pass through
+    for k in ("boxes", "scores", "labels", "valid"):
+        np.testing.assert_allclose(got_rgb[k], want[k], rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(got_rgb[k], got_packed[k])
+
+
+def test_predictor_yuv420_pads_chunks_and_batcher(served, rng):
+    """yuv420 chunking pads with black (128-chroma) planes and composes
+    with the DynamicBatcher (submit packs in the client thread; flushes
+    concatenate packed planes)."""
+    from two_stage_object_detection_tpu.serving import (DynamicBatcher,
+                                                        Predictor as P)
+    cfg, state = served
+    pred = P(cfg, state.params, state.batch_stats, batch_sizes=(1, 4),
+             wire="yuv420")
+    u8 = rng.randint(0, 256, (3, *cfg.input_size, 3)).astype(np.uint8)
+    want = pred(u8)                 # n=3 -> one padded 4-bucket
+    assert want["boxes"].shape == (3, cfg.max_detections, 4)
+    with DynamicBatcher(pred, max_wait_ms=20.0) as dyn:
+        outs = [f.result(timeout=60)
+                for f in [dyn.submit(u8[i]) for i in range(3)]]
+    for i, out in enumerate(outs):
+        np.testing.assert_allclose(out["boxes"], want["boxes"][i:i + 1],
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_predictor_yuv420_rejects_bad_requests(served, rng):
+    from two_stage_object_detection_tpu.serving import Predictor as P
+    cfg, state = served
+    pred = P(cfg, state.params, state.batch_stats, batch_sizes=(1,),
+             wire="yuv420")
+    with pytest.raises(ValueError):
+        pred(_images(rng, 1, cfg))          # float RGB
+    with pytest.raises(ValueError):
+        pred(np.zeros((1, 7, 7), np.uint8))  # wrong packed shape

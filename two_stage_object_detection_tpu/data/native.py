@@ -69,6 +69,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
     ]
+    if hasattr(lib, "rgb_to_yuv420_u8"):    # absent in pre-round-3 builds
+        lib.rgb_to_yuv420_u8.restype = None
+        lib.rgb_to_yuv420_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
     _lib = lib
     return _lib
 
@@ -128,6 +134,24 @@ def resize_f32(img: np.ndarray, size: Tuple[int, int]) -> Optional[np.ndarray]:
     lib.resize_f32(
         img.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), sh, sw,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), dh, dw)
+    return out
+
+
+def rgb_to_yuv420(images: np.ndarray) -> Optional[np.ndarray]:
+    """Pack RGB u8 ``[N, H, W, 3]`` into the serving yuv420 wire layout
+    ``[N, H + H//2, W]`` (see ``serving.rgb_to_yuv420`` for the layout).
+    Returns None if the library (or the symbol, in stale builds) is
+    missing; the caller falls back to the numpy pack."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "rgb_to_yuv420_u8"):
+        return None
+    images = np.ascontiguousarray(images, np.uint8)
+    n, h, w, _ = images.shape
+    out = np.empty((n, h + h // 2, w), np.uint8)
+    for i in range(n):
+        lib.rgb_to_yuv420_u8(
+            images[i].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+            out[i].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return out
 
 

@@ -42,6 +42,82 @@ from two_stage_object_detection_tpu.nets.detector import FasterRCNN
 
 FIELDS = ("boxes", "scores", "labels", "valid")
 
+# BT.601 full-range RGB<->YCbCr, the matrix every JPEG codec uses
+# (ITU-T T.871).  float32 on both sides so the host pack reference and the
+# device unpack agree to float tolerance.
+_YUV_FWD = np.array([[0.299, 0.587, 0.114],
+                     [-0.168736, -0.331264, 0.5],
+                     [0.5, -0.418688, -0.081312]], np.float32)
+
+
+def rgb_to_yuv420(images: np.ndarray) -> np.ndarray:
+    """Pack RGB uint8 ``[N, H, W, 3]`` into the yuv420 wire layout.
+
+    The wire layout is one uint8 plane of shape ``[N, H + H//2, W]``: rows
+    ``0:H`` are full-resolution luma Y; rows ``H:`` hold the 2x2
+    box-averaged chroma planes side by side (``Cb`` in columns ``0:W//2``,
+    ``Cr`` in ``W//2:``) — 1.5 bytes/pixel vs RGB u8's 3.  This is exactly
+    the 4:2:0 subsampling nearly every JPEG/video source already applied,
+    so for camera traffic the wire discards nothing the request still had.
+    Requires even ``H`` and ``W``.
+    """
+    images = np.asarray(images)
+    if images.ndim == 3:
+        images = images[None]
+    if images.dtype != np.uint8 or images.shape[-1] != 3:
+        raise ValueError(f"rgb_to_yuv420 takes uint8 RGB, got "
+                         f"{images.dtype} {images.shape}")
+    n, h, w, _ = images.shape
+    if h % 2 or w % 2:
+        raise ValueError(f"yuv420 needs even H, W; got {(h, w)}")
+    from two_stage_object_detection_tpu.data import native
+    packed = native.rgb_to_yuv420(images)   # ~10x the numpy pack; the
+    if packed is not None:                   # request path is host-bound
+        return packed                        # on 1-core serving hosts
+    rgb = images.astype(np.float32)
+    yuv = rgb @ _YUV_FWD.T                      # [N,H,W,3], U/V centered at 0
+    out = np.empty((n, h + h // 2, w), np.uint8)
+    out[:, :h, :] = np.clip(np.rint(yuv[..., 0]), 0, 255).astype(np.uint8)
+    # 2x2 box-average the centered chroma, then bias to 128 on the wire
+    uv = yuv[:, :, :, 1:].reshape(n, h // 2, 2, w // 2, 2, 2).mean((2, 4))
+    uv = np.clip(np.rint(uv + 128.0), 0, 255).astype(np.uint8)
+    out[:, h:, : w // 2] = uv[..., 0]
+    out[:, h:, w // 2:] = uv[..., 1]
+    return out
+
+
+def yuv420_to_rgb_reference(packed: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Host (numpy, float32) reference of the device unpack: packed wire
+    ``[N, H + H//2, W]`` -> float32 [0,1] RGB ``[N, H, W, 3]``.  Mirrors
+    ``_yuv420_unpack`` op for op so tests can pin bit-level agreement."""
+    packed = np.asarray(packed)
+    y = packed[:, :h, :].astype(np.float32)
+    u = packed[:, h:, : w // 2].astype(np.float32) - 128.0
+    v = packed[:, h:, w // 2:].astype(np.float32) - 128.0
+    u = np.repeat(np.repeat(u, 2, axis=1), 2, axis=2)
+    v = np.repeat(np.repeat(v, 2, axis=1), 2, axis=2)
+    r = y + np.float32(1.402) * v
+    g = y - np.float32(0.344136) * u - np.float32(0.714136) * v
+    b = y + np.float32(1.772) * u
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(rgb, 0.0, 255.0) / np.float32(255.0)
+
+
+def _yuv420_unpack(packed: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Device side of the yuv420 wire: nearest-neighbour chroma upsample +
+    BT.601 conversion to [0,1] float RGB.  Pure elementwise/broadcast work —
+    XLA fuses it with the model's input normalization into one pass."""
+    y = packed[:, :h, :].astype(jnp.float32)
+    u = packed[:, h:, : w // 2].astype(jnp.float32) - 128.0
+    v = packed[:, h:, w // 2:].astype(jnp.float32) - 128.0
+    u = jnp.repeat(jnp.repeat(u, 2, axis=1), 2, axis=2)
+    v = jnp.repeat(jnp.repeat(v, 2, axis=1), 2, axis=2)
+    r = y + 1.402 * v
+    g = y - 0.344136 * u - 0.714136 * v
+    b = y + 1.772 * u
+    rgb = jnp.stack([r, g, b], axis=-1)
+    return jnp.clip(rgb, 0.0, 255.0) / 255.0
+
 
 def _predict_fn(cfg: Config):
     model = FasterRCNN(cfg)
@@ -83,11 +159,16 @@ class Predictor:
         faster larger bucket automatically.  Timed via ``device_get`` of
         the outputs with host-side inputs, so the measurement includes
         the request's real upload+execute+download roundtrip.
-      wire: ``"f32"`` (default — [0,1] float images) or ``"u8"``
-        ([0,255] uint8 images, converted to floats ON DEVICE).  u8 ships
-        4x fewer host->device bytes — the serving twin of training's
-        ``transfer_uint8`` — which dominates request cost when the
-        host->device link, not the TPU, is the bottleneck.
+      wire: ``"f32"`` (default — [0,1] float images), ``"u8"`` ([0,255]
+        uint8 images, converted to floats ON DEVICE), or ``"yuv420"``
+        (uint8 4:2:0 planes, chroma-upsampled + BT.601-converted on
+        device).  u8 ships 4x fewer host->device bytes than f32 — the
+        serving twin of training's ``transfer_uint8`` — and yuv420 ships
+        8x fewer (1.5 bytes/pixel), discarding only the chroma resolution
+        that JPEG/camera sources already dropped.  These dominate request
+        cost when the host->device link, not the TPU, is the bottleneck
+        (the dev tunnel sustains ~27 MB/s: a 600x600 u8 image is ~40 ms of
+        wire vs ~12 ms of compute).
     """
 
     def __init__(self, cfg: Config, params, batch_stats,
@@ -123,9 +204,31 @@ class Predictor:
 
             self._fn = _u8_fn
             dtype = jnp.uint8
+        elif wire == "yuv420":
+            # yuv420 wire: 1.5 bytes/pixel — HALF of u8's 3 — with the
+            # chroma upsample + BT.601 conversion on device.  4:2:0 is the
+            # subsampling virtually all JPEG/camera sources already
+            # applied, so for photo traffic this recovers exactly the
+            # pixels the request contained.  The lever matters because the
+            # measured host->device link here sustains ~27 MB/s: at 600x600
+            # the image wire, not the TPU, bounds loaded serving (u8
+            # direct: ~40 ms transfer vs ~12 ms compute per image).
+            if h % 2 or w % 2:
+                raise ValueError(
+                    f"wire='yuv420' needs even input_size, got {(h, w)}")
+            base = self._fn
+
+            def _yuv_fn(params, batch_stats, packed):
+                return base(params, batch_stats, _yuv420_unpack(packed, h, w))
+
+            self._fn = _yuv_fn
+            dtype = jnp.uint8
         elif wire != "f32":
-            raise ValueError(f"wire must be 'f32' or 'u8', got {wire!r}")
+            raise ValueError(
+                f"wire must be 'f32', 'u8' or 'yuv420', got {wire!r}")
         self.dtype = dtype
+        # wire shape of ONE request image (batch dims prepend)
+        self._wire_shape = (h + h // 2, w) if wire == "yuv420" else (h, w, 3)
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -144,15 +247,19 @@ class Predictor:
         self._compiled: Dict[int, jax.stages.Compiled] = {}
         self._shardings = {}
         for b in self.batch_sizes:
-            img_spec = jax.ShapeDtypeStruct((b, h, w, 3), dtype)
+            img_spec = jax.ShapeDtypeStruct((b, *self._wire_shape), dtype)
             jitted = jax.jit(self._fn)
             if mesh is not None and b % mesh.shape.get("data", 1) == 0:
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 n_model = mesh.shape.get("model", 1)
                 # spatial: image rows over the model axis too (batch-1
-                # buckets then still use every chip of the mesh)
+                # buckets then still use every chip of the mesh).  Not
+                # offered for the yuv420 wire: its dim-1 stacks the luma
+                # and half-height chroma planes, so a row split would cut
+                # across planes, not across image rows.
                 spec = (P("data", "model")
                         if spatial and n_model > 1 and h % n_model == 0
+                        and wire != "yuv420"
                         else P("data"))
                 sh = NamedSharding(mesh, spec)
                 jitted = jax.jit(self._fn, in_shardings=(
@@ -177,13 +284,13 @@ class Predictor:
             for b in self.batch_sizes:
                 # HOST array: each timed call then also pays the image
                 # upload, which scales with b and can dominate on
-                # bandwidth-limited links (the wire='u8' rationale)
+                # bandwidth-limited links (the wire='u8'/'yuv420' rationale)
                 imgs = np.zeros(
-                    (b, h, w, 3),
-                    np.uint8 if self.wire == "u8" else np.float32)
+                    (b, *self._wire_shape),
+                    np.float32 if self.wire == "f32" else np.uint8)
                 jax.device_get(self._run_bucket(b, imgs))          # warm
                 times = []
-                for _ in range(3):
+                for _ in range(5):
                     t0 = _time.perf_counter()
                     # device_get, NOT block_until_ready: remote runtimes
                     # (the axon tunnel) ack readiness before execution
@@ -192,7 +299,11 @@ class Predictor:
                     # forces the true roundtrip a request actually pays
                     jax.device_get(self._run_bucket(b, imgs))
                     times.append(_time.perf_counter() - t0)
-                self._bucket_ms[b] = min(times) * 1e3
+                # median of 5, not min: a transient link stall during one
+                # bucket's window otherwise inverts the cost order (a
+                # measured b=1 "99 ms" vs b=8 "96 ms" routes every single
+                # image through 8x the wire bytes for the process lifetime)
+                self._bucket_ms[b] = sorted(times)[len(times) // 2] * 1e3
 
     # ------------------------------------------------------------- factory
     @classmethod
@@ -263,16 +374,73 @@ class Predictor:
         ``scores [N, D]``, ``labels [N, D]`` (1-based classes),
         ``valid [N, D]`` — ``D = cfg.max_detections``.
         """
-        images = np.asarray(images)
-        if images.ndim == 3:
-            images = images[None]
+        images = self._to_wire(np.asarray(images))
         n = images.shape[0]
         h, w = self.cfg.input_size
+        wire_np = np.float32 if self.wire == "f32" else np.uint8
+
+        # pipelined dispatch: enqueue up to 2 bucket runs before fetching
+        # the oldest result, so chunk i+1's host->device transfer overlaps
+        # chunk i's compute (jax dispatch is async; only np.asarray blocks).
+        # The window bounds device memory for huge requests.
+        outs = []
+        pending = []
+        i = 0
+        for bucket in self._plan(n):
+            take = min(n - i, bucket)
+            chunk = images[i:i + take].astype(wire_np)
+            if take < bucket:
+                pad = np.zeros((bucket - take, *self._wire_shape), wire_np)
+                if self.wire == "yuv420":
+                    pad[:, h:, :] = 128          # zero chroma = black pads
+                chunk = np.concatenate([chunk, pad])
+            pending.append(
+                (self._run_bucket(bucket, jnp.asarray(chunk, self.dtype)),
+                 take))
+            if len(pending) > 2:
+                res, t = pending.pop(0)
+                outs.append(tuple(np.asarray(r)[:t] for r in res))
+            i += take
+        for res, t in pending:
+            outs.append(tuple(np.asarray(r)[:t] for r in res))
+        cat = tuple(np.concatenate(parts) for parts in zip(*outs))
+        return dict(zip(FIELDS, cat))
+
+    def _to_wire(self, images: np.ndarray) -> np.ndarray:
+        """Validate a request and put it in wire layout ``[N, *wire_shape]``.
+
+        f32/u8 wires take ``[N, H, W, 3]`` (or one ``[H, W, 3]``) images.
+        The yuv420 wire takes uint8 RGB the same way (packed here on the
+        host), or already-packed ``[N, H + H//2, W]`` planes — so
+        :class:`DynamicBatcher` can pack once in the submitting thread and
+        flushes just concatenate.
+        """
+        h, w = self.cfg.input_size
+        if self.wire == "yuv420":
+            if images.ndim == 3 and images.shape == (h, w, 3):
+                images = images[None]
+            if images.ndim == 4 and images.shape[1:] == (h, w, 3):
+                if images.dtype != np.uint8:
+                    raise ValueError(
+                        "wire='yuv420' Predictor takes uint8 [0,255] RGB "
+                        f"(or packed planes), got {images.dtype}")
+                return rgb_to_yuv420(images)
+            if images.ndim == 2 and images.shape == self._wire_shape:
+                images = images[None]
+            if images.ndim == 3 and images.shape[1:] == self._wire_shape:
+                if images.dtype != np.uint8:
+                    raise ValueError("packed yuv420 planes must be uint8")
+                return images
+            raise ValueError(
+                f"expected [N, {h}, {w}, 3] uint8 RGB or packed "
+                f"[N, {h + h // 2}, {w}] planes, got {images.shape}; "
+                "serving shapes are static — resize/letterbox on ingest")
+        if images.ndim == 3:
+            images = images[None]
         if images.shape[1:] != (h, w, 3):
             raise ValueError(
                 f"expected [N, {h}, {w}, 3] images, got {images.shape}; "
                 "serving shapes are static — resize/letterbox on ingest")
-        wire_np = np.uint8 if self.wire == "u8" else np.float32
         if self.wire == "u8" and images.dtype != np.uint8:
             # silently truncating [0,1] floats to uint8 zeros would corrupt
             raise ValueError("wire='u8' Predictor takes uint8 [0,255] images")
@@ -281,20 +449,7 @@ class Predictor:
             # pixels to a model expecting [0,1]
             raise ValueError("f32 Predictor takes [0,1] float images "
                              "(use wire='u8' for uint8 requests)")
-
-        outs = []
-        i = 0
-        for bucket in self._plan(n):
-            take = min(n - i, bucket)
-            chunk = images[i:i + take].astype(wire_np)
-            if take < bucket:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((bucket - take, h, w, 3), wire_np)])
-            res = self._run_bucket(bucket, jnp.asarray(chunk, self.dtype))
-            outs.append(tuple(np.asarray(r)[:take] for r in res))
-            i += take
-        cat = tuple(np.concatenate(parts) for parts in zip(*outs))
-        return dict(zip(FIELDS, cat))
+        return images
 
 
 class DynamicBatcher:
@@ -344,24 +499,13 @@ class DynamicBatcher:
         """
         import concurrent.futures
         import time as _time
-        images = np.asarray(images)
-        if images.ndim == 3:
-            images = images[None]
-        h, w = self._pred.cfg.input_size
-        if images.shape[1:] != (h, w, 3):
-            raise ValueError(
-                f"expected [N, {h}, {w}, 3] images, got {images.shape}")
-        # dtype-check PER REQUEST: flushes concatenate across requests, so
-        # one wrong-dtype submission would otherwise promote the whole
-        # collated batch and poison every co-batched request
-        if self._pred.wire == "u8":
-            if images.dtype != np.uint8:
-                raise ValueError("wire='u8' batcher takes uint8 images")
-        else:
-            if images.dtype == np.uint8:
-                raise ValueError(
-                    "f32 batcher takes [0,1] float images "
-                    "(use Predictor(wire='u8') for uint8 requests)")
+        # validate AND wire-convert PER REQUEST, in the submitting thread:
+        # flushes concatenate across requests, so one wrong-dtype
+        # submission would otherwise promote the whole collated batch and
+        # poison every co-batched request — and the yuv420 pack runs in
+        # the client's thread, keeping the single flush worker lean
+        images = self._pred._to_wire(np.asarray(images))
+        if self._pred.wire == "f32":
             images = images.astype(np.float32, copy=False)
         fut = concurrent.futures.Future()
         with self._lock:
