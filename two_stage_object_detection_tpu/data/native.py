@@ -89,11 +89,18 @@ def decode_resize(path: str, size: Tuple[int, int]
 
     Returns ``(image, orig_h, orig_w)`` or None (unsupported format / no lib).
     """
+    with open(path, "rb") as f:
+        data = f.read()
+    return decode_resize_bytes(data, size)
+
+
+def decode_resize_bytes(data: bytes, size: Tuple[int, int]
+                        ) -> Optional[Tuple[np.ndarray, int, int]]:
+    """:func:`decode_resize` from an in-memory JPEG/PNG byte buffer (the
+    serving ingest path — request bodies never touch the filesystem)."""
     lib = get_lib()
     if lib is None:
         return None
-    with open(path, "rb") as f:
-        data = f.read()
     dh, dw = size
     out = np.empty((dh, dw, 3), np.float32)
     oh = ctypes.c_int(0)
