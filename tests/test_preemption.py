@@ -1,0 +1,105 @@
+"""PreemptionGuard: SIGTERM -> graceful save -> resume.
+
+The reference loses all progress since its end-of-run ``_last`` save on a
+crash or preemption (``/root/reference/train/train.py:136-143``); here a
+SIGTERM (cloud spot/preemptible notice) stops at the next step boundary,
+writes the full train state, and ``train(resume=True)`` continues.
+"""
+
+import os
+import signal
+
+import jax
+import numpy as np
+import pytest
+
+from two_stage_object_detection_tpu.data.synthetic import generate_synthetic_coco
+from two_stage_object_detection_tpu.utils.preemption import PreemptionGuard
+from tests.test_detector import tiny_config
+
+
+def test_sigterm_sets_flag_and_handlers_restore():
+    prev = signal.getsignal(signal.SIGTERM)
+    guard = PreemptionGuard()
+    with guard:
+        assert not guard.requested
+        os.kill(os.getpid(), signal.SIGTERM)   # delivered synchronously
+        assert guard.requested
+        assert guard.should_stop(sync=False)
+    assert signal.getsignal(signal.SIGTERM) is prev
+
+
+def test_programmatic_request_without_main_thread_handlers():
+    # entering from a worker thread must not raise and request() still works
+    import threading
+
+    out = {}
+
+    def run():
+        g = PreemptionGuard()
+        with g:
+            g.request()
+            out["stop"] = g.should_stop(sync=False)
+
+    t = threading.Thread(target=run)
+    t.start()
+    t.join()
+    assert out["stop"] is True
+
+
+@pytest.mark.slow
+def test_preempted_train_saves_last_and_resume_finishes(tmp_path):
+    """A stop request mid-run saves _last early; resume completes the run."""
+    from two_stage_object_detection_tpu.train import train
+    from two_stage_object_detection_tpu.utils import checkpoint as ckpt
+
+    root = str(tmp_path / "data")
+    generate_synthetic_coco(root, split="train2017", num_images=4,
+                            num_classes=3, image_size=(64, 64), seed=7)
+    generate_synthetic_coco(root, split="val2017", num_images=2,
+                            num_classes=3, image_size=(64, 64), seed=8)
+    cfg = tiny_config(batch_size=2, num_workers=2, num_epochs=3,
+                      train_ratio=1.0, eval_ratio=1.0)
+    weights = str(tmp_path / "weights")
+
+    # pre-requested guard: the loop exits at its FIRST step boundary, so
+    # the "preempted" run does zero steps but still writes a resumable
+    # _last checkpoint (deterministic — no signal-timing race)
+    guard = PreemptionGuard()
+    guard.request()
+    s1 = train(visualization=False, cfg=cfg, data_root=root,
+               weights_dir=weights, eval_period=10, mesh=None, guard=guard)
+    assert int(s1.step) == 0
+    assert os.path.isdir(os.path.join(weights, ckpt.LAST))
+
+    # resume completes all 3 epochs (2 steps each) from the saved state
+    s2 = train(visualization=False, cfg=cfg, data_root=root,
+               weights_dir=weights, eval_period=10, mesh=None, resume=True)
+    assert int(s2.step) == 3 * 2
+
+    # a mid-run preemption: request after the first epoch via a guard whose
+    # flag flips when polled a few times — emulate with a real SIGTERM sent
+    # from a timer thread is racy; instead flip after N polls
+    class CountingGuard(PreemptionGuard):
+        def __init__(self, after):
+            super().__init__()
+            self.polls = 0
+            self.after = after
+
+        def should_stop(self, sync=None):
+            self.polls += 1
+            if self.polls > self.after:
+                self.request()
+            return super().should_stop(sync=False)
+
+    weights2 = str(tmp_path / "weights2")
+    g2 = CountingGuard(after=2)     # stop after 2 completed steps
+    s3 = train(visualization=False, cfg=cfg, data_root=root,
+               weights_dir=weights2, eval_period=10, mesh=None, guard=g2)
+    assert 0 < int(s3.step) < 3 * 2
+    s4 = train(visualization=False, cfg=cfg, data_root=root,
+               weights_dir=weights2, eval_period=10, mesh=None, resume=True)
+    assert int(s4.step) >= 3 * 2
+    a = jax.tree_util.tree_leaves(s3.params)[0]
+    b = jax.tree_util.tree_leaves(s4.params)[0]
+    assert not np.allclose(np.asarray(a), np.asarray(b))

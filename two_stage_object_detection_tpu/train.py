@@ -30,6 +30,7 @@ from two_stage_object_detection_tpu.parallel.mesh import (
     shard_batch_spatial)
 from two_stage_object_detection_tpu.utils import checkpoint as ckpt
 from two_stage_object_detection_tpu.utils.draw import plot_training_metrics
+from two_stage_object_detection_tpu.utils.preemption import PreemptionGuard
 from two_stage_object_detection_tpu.utils.utils import set_seed, update_ema
 
 logging.basicConfig(level=logging.INFO)
@@ -130,7 +131,7 @@ def train(visualization: bool = True, cfg: Optional[Config] = None,
           data_root: str = "data", weights_dir: str = "weights",
           pre_train: bool = False, resume: bool = False,
           eval_period: int = 10, seed: int = 42, mesh="auto",
-          spatial: bool = False):
+          spatial: bool = False, guard: Optional[PreemptionGuard] = None):
     """Run the full training loop (reference ``train()`` signature kept).
 
     ``mesh``: ``"auto"`` builds a data-parallel mesh over every available
@@ -151,6 +152,13 @@ def train(visualization: bool = True, cfg: Optional[Config] = None,
     (``train/train.py:136-143``) but has no code path that reloads it;
     ``pre_train`` keeps its reference semantics (best-ckpt weights only,
     fresh optimiser, ``train/train.py:60-72``).
+
+    ``guard``: a :class:`~.utils.preemption.PreemptionGuard` (one is
+    created if omitted).  SIGTERM — the cloud spot/preemptible notice —
+    stops the loop at the next step boundary, saves the full ``_last``
+    checkpoint, and returns; ``train(resume=True)`` then continues.  A
+    preemption mid-epoch resumes at that epoch's start (the step counter
+    and optimiser state are exact; only the epoch's batch order replays).
     """
     # env-driven multi-controller bring-up (JAX_COORDINATOR_ADDRESS etc.);
     # no-op on a single-process run or when already initialised.  Must
@@ -280,88 +288,111 @@ def train(visualization: bool = True, cfg: Optional[Config] = None,
     from two_stage_object_detection_tpu.data.device_cache import (
         DeviceDatasetCache)
 
-    for epoch in range(start_epoch, cfg.num_epochs):
-        # losses stay device-side during the epoch: a per-step float()
-        # would force a blocking device->host roundtrip (~30 ms on a
-        # remote runtime, docs/DESIGN.md) inside the hot loop.  The
-        # scalars are fetched in one batch at epoch end for the plots.
-        pending = []
-        aug = cfg.device_augment and cfg.augment
-        fused_k = (cfg.grad_accum_steps
-                   if cfg.fused_accum and cfg.grad_accum_steps > 1 else 0)
-        resident = (fused_k and isinstance(train_loader, DeviceDatasetCache)
-                    and (train_loader.device_put is None
-                         or train_loader.data_sharding is not None))
-        if resident:
-            # HBM-resident fast path: the scan gathers each micro-batch
-            # from the pinned dataset, so one accumulation cycle = one
-            # dispatch carrying only a [K,B] index array.  On a mesh the
-            # dataset is sharded over 'data' and the gathered batches are
-            # constrained to the usual batch-over-data layout.
-            bsh = None
-            if train_loader.data_sharding is not None:
-                from jax.sharding import NamedSharding, PartitionSpec
-                bsh = NamedSharding(mesh, PartitionSpec("data"))
-            idx = train_loader.epoch_indices()
-            whole = len(idx) - len(idx) % fused_k
-            for c in tqdm(range(0, whole, fused_k),
-                          desc=f"Epoch {epoch + 1}/{cfg.num_epochs}",
-                          colour="green"):
+    guard = guard or PreemptionGuard()
+    preempted = False
+    guard.__enter__()
+    try:
+        for epoch in range(start_epoch, cfg.num_epochs):
+            # losses stay device-side during the epoch: a per-step float()
+            # would force a blocking device->host roundtrip (~30 ms on a
+            # remote runtime, docs/DESIGN.md) inside the hot loop.  The
+            # scalars are fetched in one batch at epoch end for the plots.
+            pending = []
+            aug = cfg.device_augment and cfg.augment
+            fused_k = (cfg.grad_accum_steps
+                       if cfg.fused_accum and cfg.grad_accum_steps > 1 else 0)
+            resident = (fused_k and isinstance(train_loader, DeviceDatasetCache)
+                        and (train_loader.device_put is None
+                             or train_loader.data_sharding is not None))
+            if resident:
+                # HBM-resident fast path: the scan gathers each micro-batch
+                # from the pinned dataset, so one accumulation cycle = one
+                # dispatch carrying only a [K,B] index array.  On a mesh the
+                # dataset is sharded over 'data' and the gathered batches are
+                # constrained to the usual batch-over-data layout.
+                bsh = None
+                if train_loader.data_sharding is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec
+                    bsh = NamedSharding(mesh, PartitionSpec("data"))
+                idx = train_loader.epoch_indices()
+                whole = len(idx) - len(idx) % fused_k
+                for c in tqdm(range(0, whole, fused_k),
+                              desc=f"Epoch {epoch + 1}/{cfg.num_epochs}",
+                              colour="green"):
+                    if guard.should_stop():
+                        preempted = True
+                        break
+                    rng, step_rng = jax.random.split(rng)
+                    state, totals = train_macro_step_resident(
+                        state, train_loader.data, jnp.asarray(idx[c:c + fused_k]),
+                        step_rng, device_augment=aug, batch_sharding=bsh)
+                    pending.append(totals)
+                if not preempted:
+                    for sel in idx[whole:]:     # leftover partial cycle: eager
+                        rng, step_rng = jax.random.split(rng)
+                        batch = {k: jnp.take(v, jnp.asarray(sel), axis=0)
+                                 for k, v in train_loader.data.items()}
+                        if bsh is not None:
+                            batch = {k: jax.device_put(v, bsh)
+                                     for k, v in batch.items()}
+                        state, losses = train_step(state, batch, step_rng,
+                                                   device_augment=aug)
+                        pending.append(losses["total"])
+                train_loss.extend(float(v) for arr in jax.device_get(pending)
+                                  for v in np.atleast_1d(arr))
+                if preempted:
+                    break
+                if epoch % eval_period == 0:
+                    _eval_and_checkpoint()
+                continue
+            loop = tqdm(train_loader, total=steps_per_epoch,
+                        desc=f"Epoch {epoch + 1}/{cfg.num_epochs}", colour="green")
+            buf = []
+            for batch in loop:
+                if guard.should_stop():
+                    preempted = True
+                    break
+                if fused_k:
+                    # fused accumulation: stack K device batches and run the
+                    # whole cycle as one lax.scan dispatch (trainer.py:
+                    # train_macro_step) — K-1 fewer host roundtrips per update
+                    buf.append(batch)
+                    if len(buf) == fused_k:
+                        rng, step_rng = jax.random.split(rng)
+                        sb = jax.tree_util.tree_map(
+                            lambda *xs: jnp.stack(xs), *buf)
+                        buf = []
+                        state, totals = train_macro_step(state, sb, step_rng,
+                                                         device_augment=aug)
+                        pending.append(totals)
+                    continue
                 rng, step_rng = jax.random.split(rng)
-                state, totals = train_macro_step_resident(
-                    state, train_loader.data, jnp.asarray(idx[c:c + fused_k]),
-                    step_rng, device_augment=aug, batch_sharding=bsh)
-                pending.append(totals)
-            for sel in idx[whole:]:     # leftover partial cycle: eager
-                rng, step_rng = jax.random.split(rng)
-                batch = {k: jnp.take(v, jnp.asarray(sel), axis=0)
-                         for k, v in train_loader.data.items()}
-                if bsh is not None:
-                    batch = {k: jax.device_put(v, bsh)
-                             for k, v in batch.items()}
                 state, losses = train_step(state, batch, step_rng,
                                            device_augment=aug)
                 pending.append(losses["total"])
+            if not preempted:
+                for batch in buf:  # leftover partial cycle: eager per-batch
+                    rng, step_rng = jax.random.split(rng)
+                    state, losses = train_step(state, batch, step_rng,
+                                               device_augment=aug)
+                    pending.append(losses["total"])
             train_loss.extend(float(v) for arr in jax.device_get(pending)
                               for v in np.atleast_1d(arr))
+            if preempted:
+                break
+
             if epoch % eval_period == 0:
                 _eval_and_checkpoint()
-            continue
-        loop = tqdm(train_loader, total=steps_per_epoch,
-                    desc=f"Epoch {epoch + 1}/{cfg.num_epochs}", colour="green")
-        buf = []
-        for batch in loop:
-            if fused_k:
-                # fused accumulation: stack K device batches and run the
-                # whole cycle as one lax.scan dispatch (trainer.py:
-                # train_macro_step) — K-1 fewer host roundtrips per update
-                buf.append(batch)
-                if len(buf) == fused_k:
-                    rng, step_rng = jax.random.split(rng)
-                    sb = jax.tree_util.tree_map(
-                        lambda *xs: jnp.stack(xs), *buf)
-                    buf = []
-                    state, totals = train_macro_step(state, sb, step_rng,
-                                                     device_augment=aug)
-                    pending.append(totals)
-                continue
-            rng, step_rng = jax.random.split(rng)
-            state, losses = train_step(state, batch, step_rng,
-                                       device_augment=aug)
-            pending.append(losses["total"])
-        for batch in buf:      # leftover partial cycle: eager per-batch
-            rng, step_rng = jax.random.split(rng)
-            state, losses = train_step(state, batch, step_rng,
-                                       device_augment=aug)
-            pending.append(losses["total"])
-        train_loss.extend(float(v) for arr in jax.device_get(pending)
-                          for v in np.atleast_1d(arr))
 
-        if epoch % eval_period == 0:
-            _eval_and_checkpoint()
-
-    ckpt.save_checkpoint(weights_dir, state, name=ckpt.LAST)
-    log.info("✅ Last model saved to %s", weights_dir)
+        ckpt.save_checkpoint(weights_dir, state, name=ckpt.LAST)
+        if preempted:
+            log.warning("⚠️ Preempted at step %d — full state saved to %s; "
+                        "train(resume=True) continues this run",
+                        int(state.step), weights_dir)
+        else:
+            log.info("✅ Last model saved to %s", weights_dir)
+    finally:
+        guard.__exit__(None, None, None)
 
     if visualization and train_loss:
         ema_alpha = 0.01
