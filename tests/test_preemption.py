@@ -29,6 +29,55 @@ def test_sigterm_sets_flag_and_handlers_restore():
     assert signal.getsignal(signal.SIGTERM) is prev
 
 
+def test_reentrant_enter_preserves_original_handler():
+    # the natural usage `with PreemptionGuard() as g: train(guard=g)` enters
+    # the guard twice; the inner enter must NOT record the guard's own
+    # handler as "previous" (ADVICE r3: re-entry safety)
+    prev = signal.getsignal(signal.SIGTERM)
+    guard = PreemptionGuard()
+    with guard:
+        with guard:     # nested enter (what train() does internally)
+            assert signal.getsignal(signal.SIGTERM) == guard._on_signal
+        # inner exit: handler still installed (outermost owns it)
+        assert signal.getsignal(signal.SIGTERM) == guard._on_signal
+    assert signal.getsignal(signal.SIGTERM) is prev
+
+
+def test_partial_install_failure_restores_swapped_handlers():
+    prev = signal.getsignal(signal.SIGTERM)
+    bad = PreemptionGuard(signals=(signal.SIGTERM, 10 ** 6))  # invalid signo
+    with bad:
+        # install failed partway: SIGTERM must have been rolled back
+        assert signal.getsignal(signal.SIGTERM) is prev
+        bad.request()
+        assert bad.should_stop(sync=False)
+    assert signal.getsignal(signal.SIGTERM) is prev
+
+
+def test_should_stop_sync_throttles_collectives(monkeypatch):
+    # synced polls only issue the allgather every sync_every-th poll, and
+    # the return value is always the last agreement
+    calls = []
+
+    guard = PreemptionGuard(sync_every=4)
+
+    from jax.experimental import multihost_utils
+
+    def fake_allgather(x):
+        calls.append(1)
+        return np.asarray([x])
+
+    monkeypatch.setattr(multihost_utils, "process_allgather", fake_allgather)
+    for _ in range(3):
+        assert guard.should_stop(sync=True) is False
+    assert calls == []              # polls 1-3: no collective
+    guard.request()
+    assert guard.should_stop(sync=True) is True   # poll 4: synced
+    assert calls == [1]
+    assert guard.should_stop(sync=True) is True   # cached agreement
+    assert calls == [1]
+
+
 def test_programmatic_request_without_main_thread_handlers():
     # entering from a worker thread must not raise and request() still works
     import threading
@@ -97,9 +146,12 @@ def test_preempted_train_saves_last_and_resume_finishes(tmp_path):
     s3 = train(visualization=False, cfg=cfg, data_root=root,
                weights_dir=weights2, eval_period=10, mesh=None, guard=g2)
     assert 0 < int(s3.step) < 3 * 2
+    # resume skips the already-applied prefix of the interrupted epoch:
+    # total applied steps land EXACTLY at num_epochs*steps_per_epoch (no
+    # replay overshoot — ADVICE r3)
     s4 = train(visualization=False, cfg=cfg, data_root=root,
                weights_dir=weights2, eval_period=10, mesh=None, resume=True)
-    assert int(s4.step) >= 3 * 2
+    assert int(s4.step) == 3 * 2
     a = jax.tree_util.tree_leaves(s3.params)[0]
     b = jax.tree_util.tree_leaves(s4.params)[0]
     assert not np.allclose(np.asarray(a), np.asarray(b))

@@ -157,8 +157,12 @@ def train(visualization: bool = True, cfg: Optional[Config] = None,
     created if omitted).  SIGTERM — the cloud spot/preemptible notice —
     stops the loop at the next step boundary, saves the full ``_last``
     checkpoint, and returns; ``train(resume=True)`` then continues.  A
-    preemption mid-epoch resumes at that epoch's start (the step counter
-    and optimiser state are exact; only the epoch's batch order replays).
+    mid-epoch preemption resumes exactly where it stopped: the epoch's
+    deterministic batch order is replayed and the first ``step %
+    steps_per_epoch`` batches are skipped (never re-applied), the loader
+    epoch counter is restored, and step RNGs derive from ``fold_in(seed,
+    epoch, step)`` so the resumed run's shuffle/augmentation stream equals
+    an uninterrupted run's.
     """
     # env-driven multi-controller bring-up (JAX_COORDINATOR_ADDRESS etc.);
     # no-op on a single-process run or when already initialised.  Must
@@ -217,6 +221,7 @@ def train(visualization: bool = True, cfg: Optional[Config] = None,
     os.makedirs(weights_dir, exist_ok=True)
 
     start_epoch = 0
+    skip_steps = 0   # applied micro-steps of the resumed (partial) epoch
     min_eval_loss = float("inf")   # global best (the reference resets this
     # every eval round, train/train.py:95,120 — quirk #9, fixed)
     meta_path = os.path.join(weights_dir, "train_meta.json")
@@ -227,10 +232,15 @@ def train(visualization: bool = True, cfg: Optional[Config] = None,
             state = restored
             if mesh is not None:   # restored leaves are host arrays
                 state = place(state)
-            # TrainState.step counts micro-steps; continue at the epoch
-            # after the last completed one
+            # TrainState.step counts micro-steps; continue inside the
+            # epoch that was interrupted, skipping the batches already
+            # applied (the per-epoch order is deterministic, so replaying
+            # the order and dropping the first `skip_steps` reproduces an
+            # uninterrupted run instead of double-applying them)
             start_epoch = min(int(state.step) // steps_per_epoch,
                               cfg.num_epochs)
+            if start_epoch < cfg.num_epochs:
+                skip_steps = int(state.step) % steps_per_epoch
             # restore the global-best eval loss so the first post-resume
             # eval doesn't unconditionally overwrite the _best checkpoint
             if os.path.exists(meta_path):
@@ -290,14 +300,23 @@ def train(visualization: bool = True, cfg: Optional[Config] = None,
 
     guard = guard or PreemptionGuard()
     preempted = False
-    guard.__enter__()
-    try:
+    # deterministic per-epoch/per-step rng: step rngs derive from
+    # fold_in(base, epoch, step-in-epoch) rather than a sequential split
+    # chain, so a resumed run draws the SAME augmentation stream as an
+    # uninterrupted one (a split chain has no random access — a resume
+    # would restart it at its epoch-0 position)
+    if hasattr(train_loader, "epoch"):
+        train_loader.epoch = start_epoch   # restore the shuffle-order clock
+    with guard:
         for epoch in range(start_epoch, cfg.num_epochs):
             # losses stay device-side during the epoch: a per-step float()
             # would force a blocking device->host roundtrip (~30 ms on a
             # remote runtime, docs/DESIGN.md) inside the hot loop.  The
             # scalars are fetched in one batch at epoch end for the plots.
             pending = []
+            erng = jax.random.fold_in(rng, epoch)
+            step_rng_at = lambda s: jax.random.fold_in(erng, s)
+            skip = skip_steps if epoch == start_epoch else 0
             aug = cfg.device_augment and cfg.augment
             fused_k = (cfg.grad_accum_steps
                        if cfg.fused_accum and cfg.grad_accum_steps > 1 else 0)
@@ -314,30 +333,41 @@ def train(visualization: bool = True, cfg: Optional[Config] = None,
                 if train_loader.data_sharding is not None:
                     from jax.sharding import NamedSharding, PartitionSpec
                     bsh = NamedSharding(mesh, PartitionSpec("data"))
+
+                def _eager(sel, s):
+                    batch = {k: jnp.take(v, jnp.asarray(sel), axis=0)
+                             for k, v in train_loader.data.items()}
+                    if bsh is not None:
+                        batch = {k: jax.device_put(v, bsh)
+                                 for k, v in batch.items()}
+                    st, losses = train_step(state, batch, step_rng_at(s),
+                                            device_augment=aug)
+                    return st, losses["total"]
+
                 idx = train_loader.epoch_indices()
                 whole = len(idx) - len(idx) % fused_k
-                for c in tqdm(range(0, whole, fused_k),
+                # a resume whose skip lands mid-cycle (possible when the
+                # interrupted run used a different accumulation layout)
+                # realigns to the next cycle boundary with eager steps
+                realign = min(whole, skip + (-skip) % fused_k)
+                for s in range(min(skip, whole), realign):
+                    state, tot = _eager(idx[s], s)
+                    pending.append(tot)
+                for c in tqdm(range(realign, whole, fused_k),
                               desc=f"Epoch {epoch + 1}/{cfg.num_epochs}",
                               colour="green"):
                     if guard.should_stop():
                         preempted = True
                         break
-                    rng, step_rng = jax.random.split(rng)
                     state, totals = train_macro_step_resident(
                         state, train_loader.data, jnp.asarray(idx[c:c + fused_k]),
-                        step_rng, device_augment=aug, batch_sharding=bsh)
+                        step_rng_at(c), device_augment=aug, batch_sharding=bsh)
                     pending.append(totals)
                 if not preempted:
-                    for sel in idx[whole:]:     # leftover partial cycle: eager
-                        rng, step_rng = jax.random.split(rng)
-                        batch = {k: jnp.take(v, jnp.asarray(sel), axis=0)
-                                 for k, v in train_loader.data.items()}
-                        if bsh is not None:
-                            batch = {k: jax.device_put(v, bsh)
-                                     for k, v in batch.items()}
-                        state, losses = train_step(state, batch, step_rng,
-                                                   device_augment=aug)
-                        pending.append(losses["total"])
+                    # leftover partial cycle: eager
+                    for s in range(max(whole, skip), len(idx)):
+                        state, tot = _eager(idx[s], s)
+                        pending.append(tot)
                 train_loss.extend(float(v) for arr in jax.device_get(pending)
                                   for v in np.atleast_1d(arr))
                 if preempted:
@@ -348,7 +378,9 @@ def train(visualization: bool = True, cfg: Optional[Config] = None,
             loop = tqdm(train_loader, total=steps_per_epoch,
                         desc=f"Epoch {epoch + 1}/{cfg.num_epochs}", colour="green")
             buf = []
-            for batch in loop:
+            for i, batch in enumerate(loop):
+                if i < skip:    # already applied before the preemption
+                    continue
                 if guard.should_stop():
                     preempted = True
                     break
@@ -358,23 +390,22 @@ def train(visualization: bool = True, cfg: Optional[Config] = None,
                     # train_macro_step) — K-1 fewer host roundtrips per update
                     buf.append(batch)
                     if len(buf) == fused_k:
-                        rng, step_rng = jax.random.split(rng)
                         sb = jax.tree_util.tree_map(
                             lambda *xs: jnp.stack(xs), *buf)
                         buf = []
-                        state, totals = train_macro_step(state, sb, step_rng,
-                                                         device_augment=aug)
+                        state, totals = train_macro_step(
+                            state, sb, step_rng_at(i + 1 - fused_k),
+                            device_augment=aug)
                         pending.append(totals)
                     continue
-                rng, step_rng = jax.random.split(rng)
-                state, losses = train_step(state, batch, step_rng,
+                state, losses = train_step(state, batch, step_rng_at(i),
                                            device_augment=aug)
                 pending.append(losses["total"])
             if not preempted:
-                for batch in buf:  # leftover partial cycle: eager per-batch
-                    rng, step_rng = jax.random.split(rng)
-                    state, losses = train_step(state, batch, step_rng,
-                                               device_augment=aug)
+                for j, batch in enumerate(buf):  # leftover partial cycle: eager
+                    state, losses = train_step(
+                        state, batch, step_rng_at(steps_per_epoch + j),
+                        device_augment=aug)
                     pending.append(losses["total"])
             train_loss.extend(float(v) for arr in jax.device_get(pending)
                               for v in np.atleast_1d(arr))
@@ -391,8 +422,6 @@ def train(visualization: bool = True, cfg: Optional[Config] = None,
                         int(state.step), weights_dir)
         else:
             log.info("✅ Last model saved to %s", weights_dir)
-    finally:
-        guard.__exit__(None, None, None)
 
     if visualization and train_loss:
         ema_alpha = 0.01

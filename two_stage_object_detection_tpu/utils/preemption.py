@@ -41,25 +41,44 @@ class PreemptionGuard:
     and only the programmatic :meth:`request` path is live.
     """
 
-    def __init__(self, signals=(signal.SIGTERM,)):
+    def __init__(self, signals=(signal.SIGTERM,), sync_every: int = 8):
         self._signals = tuple(signals)
         self._prev: dict = {}
         self._event = threading.Event()
         self._installed = False
+        self._depth = 0            # nesting refcount: re-entry safe
+        self._sync_every = max(int(sync_every), 1)
+        self._polls = 0
+        self._agreed = False       # last cross-process agreement
 
     def __enter__(self) -> "PreemptionGuard":
+        # Nesting-safe: ``with PreemptionGuard() as g: train(guard=g)`` has
+        # train() enter the guard a second time — only the OUTERMOST enter
+        # installs handlers (else _prev would record the guard's own
+        # _on_signal as the "previous" disposition and __exit__ would leave
+        # SIGTERM bound to a dead guard forever).
+        self._depth += 1
+        if self._depth > 1:
+            return self
         try:
             for s in self._signals:
                 self._prev[s] = signal.signal(s, self._on_signal)
             self._installed = True
         except ValueError:
+            # Either not on the main thread (CPython forbids handler
+            # installation there) or an invalid signal partway through the
+            # list: restore whatever was already swapped so no signal is
+            # left bound to this guard without a recorded previous handler.
+            for s, h in self._prev.items():
+                signal.signal(s, h)
             self._prev.clear()
-            log.debug("PreemptionGuard: not on the main thread; signal "
-                      "handlers not installed (request() still works)")
+            log.debug("PreemptionGuard: signal handlers not installed "
+                      "(request() still works)")
         return self
 
     def __exit__(self, *exc) -> None:
-        if self._installed:
+        self._depth = max(self._depth - 1, 0)
+        if self._depth == 0 and self._installed:
             for s, h in self._prev.items():
                 signal.signal(s, h)
             self._prev.clear()
@@ -85,16 +104,27 @@ class PreemptionGuard:
         """Poll the flag; agree across processes on multi-controller runs.
 
         ``sync=None`` (default) syncs exactly when ``jax.process_count()
-        > 1``.  The collective is a one-bool allgather — negligible next
-        to a train step, and required so every process leaves the loop at
-        the SAME step before the coordinated checkpoint save.
+        > 1``.  The cross-process agreement is a one-bool allgather issued
+        only every ``sync_every``-th poll (a blocking host roundtrip per
+        step would re-tax the HBM-resident fast path), so a preemption is
+        acted on within ``sync_every`` steps of delivery.  On synced runs
+        the return value is ALWAYS the last agreement, never the local
+        flag alone — every process must leave the loop at the same step
+        for the coordinated checkpoint save, so poll counts (one per step)
+        stay identical across processes by construction.
         """
         if sync is None:
             import jax
             sync = jax.process_count() > 1
         if not sync:
             return self.requested
+        if self._agreed:
+            return True
+        self._polls += 1
+        if self._polls % self._sync_every:
+            return False
         from jax.experimental import multihost_utils
         flags = multihost_utils.process_allgather(
             np.asarray(self.requested, np.bool_))
-        return bool(np.any(flags))
+        self._agreed = bool(np.any(flags))
+        return self._agreed
