@@ -166,6 +166,11 @@ class Config:
     # one extra block forward for the dense-concat activation memory —
     # required for train batches >16 at 600x600 on a single v5e
     remat_backbone: bool = False
+    # persistent XLA compilation cache directory ("" = off): repeat runs of
+    # an identical recipe — model-server restarts, preemption resumes —
+    # load their compiled programs from disk instead of paying the 18-40 s
+    # cold XLA compile (utils/compile_cache.py; the drivers honor this)
+    compilation_cache: str = ""
 
     @property
     def n_anchors_per_cell(self) -> int:

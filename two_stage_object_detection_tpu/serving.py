@@ -177,6 +177,9 @@ class Predictor:
                  int8_scales=None, calibrate: bool = False,
                  wire: str = "f32"):
         self.cfg = cfg
+        from two_stage_object_detection_tpu.utils.compile_cache import (
+            maybe_enable)
+        maybe_enable(cfg.compilation_cache)   # AOT buckets reload from disk
         self.batch_sizes = tuple(sorted(set(int(b) for b in batch_sizes)))
         if not self.batch_sizes:
             raise ValueError("need at least one batch size")

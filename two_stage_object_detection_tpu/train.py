@@ -171,6 +171,8 @@ def train(visualization: bool = True, cfg: Optional[Config] = None,
         init_distributed)
     init_distributed()
     cfg = cfg or load_config()
+    from two_stage_object_detection_tpu.utils.compile_cache import maybe_enable
+    maybe_enable(cfg.compilation_cache)
     set_seed(seed)
     rng = jax.random.PRNGKey(seed)
 
