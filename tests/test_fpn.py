@@ -1,0 +1,158 @@
+"""FPN variant: anchors, level assignment, end-to-end train/predict, sharding.
+
+The FPN detector (``nets/fpn.py``, ``Config.fpn=True``) is a beyond-reference
+capability — the reference runs a single stride-16 map (``nets/rpn.py:72-143``)
+— so these tests pin OUR contract: static per-level geometry, shared RPN head
+across levels, one-hot multi-level RoIAlign, and trainability.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.test_detector import tiny_batch, tiny_config
+from two_stage_object_detection_tpu.nets.fpn import fpn_level_assign
+from two_stage_object_detection_tpu.nets.trainer import (
+    create_train_state, predict_step, train_step)
+from two_stage_object_detection_tpu.ops.anchors import (
+    fpn_feat_sizes, make_fpn_anchors)
+
+
+def fpn_config(**kw):
+    base = dict(backbone="resnet34", fpn=True, fpn_channels=32, fpn_fc_dim=64)
+    base.update(kw)
+    return tiny_config(**base)
+
+
+# ---------------------------------------------------------------- geometry
+def test_fpn_feat_sizes_ceil_halving():
+    assert fpn_feat_sizes((600, 600), 2, 6) == [
+        (150, 150), (75, 75), (38, 38), (19, 19), (10, 10)]
+    assert fpn_feat_sizes((64, 64), 2, 6) == [
+        (16, 16), (8, 8), (4, 4), (2, 2), (1, 1)]
+
+
+def test_fpn_anchor_table():
+    cfg = fpn_config()
+    a = make_fpn_anchors(cfg)
+    sizes = fpn_feat_sizes(cfg.input_size, cfg.fpn_min_level, cfg.fpn_max_level)
+    n = sum(h * w for h, w in sizes) * len(cfg.anchor_ratios)
+    assert a.shape == (n, 4)
+    # level block l holds anchors of area (scale * 2**level)^2 at every ratio
+    off = 0
+    for lvl, (fh, fw) in zip(range(cfg.fpn_min_level, cfg.fpn_max_level + 1),
+                             sizes):
+        blk = a[off:off + fh * fw * len(cfg.anchor_ratios)]
+        wh = blk[:, 2:] - blk[:, :2]
+        area = wh[:, 0] * wh[:, 1]
+        expect = (cfg.fpn_anchor_scale * 2 ** lvl) ** 2
+        np.testing.assert_allclose(area, expect, rtol=1e-4)
+        # all three ratios appear
+        ratios = wh[:, 1] / wh[:, 0]
+        assert np.unique(np.round(ratios, 3)).size == len(cfg.anchor_ratios)
+        off += len(blk)
+    assert off == n
+
+
+def test_fpn_level_assignment():
+    rois = jnp.array([
+        [0, 0, 32, 32],        # tiny -> finest level
+        [0, 0, 112, 112],      # half canonical -> canonical - 1
+        [0, 0, 224, 224],      # canonical size -> canonical level
+        [0, 0, 448, 448],      # double -> canonical + 1
+        [0, 0, 10000, 10000],  # huge -> clipped at max
+    ], jnp.float32)
+    lv = fpn_level_assign(rois, min_level=2, max_level=5,
+                          canonical_level=4, canonical_size=224.0)
+    assert lv.tolist() == [2, 3, 4, 5, 5]
+
+
+def test_fpn_requires_pyramid_backbone():
+    with pytest.raises(ValueError, match="cannot feed an FPN"):
+        create_train_state(fpn_config(backbone="hardnet39"),
+                           jax.random.PRNGKey(0), init_image_size=(32, 32))
+
+
+# ------------------------------------------------------------- end to end
+@pytest.mark.parametrize("backbone", ["resnet34", "hardnet39s"])
+def test_fpn_train_and_predict(backbone, rng):
+    cfg = fpn_config(backbone=backbone)
+    _, state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                  init_image_size=(32, 32))
+    batch = tiny_batch(cfg, rng)
+    state, losses = train_step(state, batch, jax.random.PRNGKey(1))
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    boxes, scores, labels, valid = predict_step(state, batch["image"])
+    assert boxes.shape == (cfg.batch_size, cfg.max_detections, 4)
+    assert labels.dtype == jnp.int32
+    # detections stay inside the image
+    b = np.asarray(boxes)[np.asarray(valid)]
+    if b.size:
+        assert b.min() >= 0 and b.max() <= cfg.input_size[0]
+
+
+def test_fpn_gradients_reach_neck_and_head(rng):
+    """The neck, shared RPN head, and fc box head all receive gradient."""
+    cfg = fpn_config()
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                      init_image_size=(32, 32))
+    batch = tiny_batch(cfg, rng)
+
+    def loss_fn(params):
+        out, _ = state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch["image"], batch["boxes"], batch["labels"], batch["valid"],
+            method="train_forward", mutable=["batch_stats"],
+            rngs={"sampling": jax.random.PRNGKey(2)})
+        return out["losses"]["total"]
+
+    grads = jax.grad(loss_fn)(state.params)
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    for probe in ("neck", "rpn_head", "fc1", "cls_loc"):
+        norms = [float(jnp.abs(g).sum()) for path, g in flat
+                 if probe in "/".join(str(p.key) for p in path)]
+        assert norms and max(norms) > 0, f"no gradient reached {probe}"
+
+
+@pytest.mark.slow
+def test_fpn_loss_decreases(rng):
+    cfg = fpn_config(grad_accum_steps=1, lr=3e-3)
+    _, state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                  init_image_size=(32, 32))
+    batch = tiny_batch(cfg, rng)
+    first = last = None
+    for i in range(12):
+        state, losses = train_step(state, batch, jax.random.PRNGKey(0))
+        last = float(losses["total"])
+        if first is None:
+            first = last
+    assert np.isfinite(last) and last < first
+
+
+@pytest.mark.slow
+def test_fpn_train_under_mesh_matches_single_device(rng):
+    """DP+TP mesh run reproduces the single-device FPN step."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from two_stage_object_detection_tpu.parallel.sharding import (
+        infer_param_sharding)
+
+    cfg = fpn_config(batch_size=4)
+    _, state0 = create_train_state(cfg, jax.random.PRNGKey(0),
+                                   init_image_size=(32, 32))
+    batch = tiny_batch(cfg, rng)
+    _, losses_ref = train_step(state0, batch, jax.random.PRNGKey(1))
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("data", "model"))
+    _, state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                  init_image_size=(32, 32))
+    pshard = infer_param_sharding(state.params, mesh)
+    state = state.replace(params=jax.device_put(state.params, pshard))
+    bshard = NamedSharding(mesh, P("data"))
+    batch_m = {k: jax.device_put(v, bshard) for k, v in batch.items()}
+    _, losses_m = train_step(state, batch_m, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(losses_m["total"]),
+                               float(losses_ref["total"]), rtol=2e-4)

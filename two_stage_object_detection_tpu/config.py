@@ -99,6 +99,24 @@ class Config:
     backbone: str = "hardnet39"
     backbone_channels: int = 512   # informational only (profiling scripts); model shapes are inferred
 
+    # ---- FPN variant (beyond-reference capability; nets/fpn.py) ----
+    # fpn=True runs the standard Feature-Pyramid-Network extension of
+    # Faster R-CNN: multi-scale backbone taps (C2..C5) -> FPN neck ->
+    # shared RPN head over P2..P6 with one anchor octave per level ->
+    # multi-level RoIAlign + 2-FC box head.  Requires a backbone with a
+    # real pyramid: resnet* or the strided hardnet*s variants (the
+    # reference hardnet layout holds every block at one spatial size).
+    # anchor_ratios still set the aspect ratios; anchor_scales is ignored
+    # (per-level octaves replace the 3-scale single-map table).
+    fpn: bool = False
+    fpn_channels: int = 256           # neck/pyramid feature width
+    fpn_anchor_scale: float = 8.0     # anchor side = scale * 2**level px
+    fpn_min_level: int = 2            # P2 (stride 4)
+    fpn_max_level: int = 6            # P6 (stride 64, RPN-only)
+    fpn_canonical_level: int = 4      # RoI level assignment anchor point
+    fpn_canonical_size: float = 224.0
+    fpn_fc_dim: int = 1024            # box-head MLP width
+
     # losses (reference nets/frcnn_training.py:198-199, train/train.py:86-92)
     rpn_sigma: float = 1.0
     roi_sigma: float = 1.0

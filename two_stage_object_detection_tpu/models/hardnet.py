@@ -191,6 +191,11 @@ class HarDNetFeatureExtraction(nn.Module):
     # (docs/DESIGN.md round-3 stage attribution).  No torch counterpart:
     # weight converters only accept the reference layout.
     strided: bool = False
+    # Return multi-scale taps (C2..C5 at strides 4/8/16/32) for an FPN neck
+    # instead of the single stride-16 map.  Requires ``strided=True`` — the
+    # reference layout keeps every block at stride 4 spatially (the stride-1
+    # quirk), so it has no genuine pyramid to tap.
+    pyramid: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -211,6 +216,7 @@ class HarDNetFeatureExtraction(nn.Module):
 
         ch = first_ch[1]
         n_strided = 0
+        taps = []          # most-processed feature at each stride (pyramid)
         for i in range(len(n_layers)):
             blk = block_cls(ch, gr[i], grmul, n_layers[i],
                             dwconv=self.depth_wise, dtype=self.dtype,
@@ -225,6 +231,7 @@ class HarDNetFeatureExtraction(nn.Module):
             if down_samp[i] == 1:
                 if self.strided and n_strided < 2:
                     # stride budget: 4 (stem) * 2 * 2 here * 1 (tail) = 16
+                    taps.append(x)      # last feature at the current stride
                     x = DWConvLayer(ch, stride=2, dtype=self.dtype,
                                     name=f"down{i}")(x, train)
                     n_strided += 1
@@ -250,10 +257,20 @@ class HarDNetFeatureExtraction(nn.Module):
                     name="tail1")(x)
         x = nn.Conv(512, (1, 1), feature_group_count=512, dtype=self.dtype,
                     name="tail2")(x)
+        if self.pyramid:
+            assert self.strided, "pyramid taps require the strided variant"
+            # C5 at stride 32: one extra depthwise stride-2 step on the tail
+            c5 = DWConvLayer(512, stride=2, dtype=self.dtype,
+                             name="pyr_down")(x, train)
+            return (*taps, x, c5)       # strides 4, 8, 16, 32
         return x
 
     @property
-    def out_channels(self) -> int:
+    def out_channels(self):
+        if self.pyramid:
+            _, ch_list, _, _, _, down_samp = _ARCH[self.arch]
+            strided_at = [i for i, d in enumerate(down_samp) if d == 1][:2]
+            return (*(ch_list[i] for i in strided_at), 512, 512)
         return 512
 
 

@@ -93,13 +93,19 @@ class Bottleneck(nn.Module):
 
 
 class ResNetFeatureExtraction(nn.Module):
-    """Stride-16 ResNet trunk: conv1 -> maxpool -> layer1..layer3."""
+    """Stride-16 ResNet trunk: conv1 -> maxpool -> layer1..layer3.
+
+    ``pyramid=True`` (FPN backbones) additionally runs ``layer4`` (stride 32)
+    and returns the multi-scale taps ``(C2, C3, C4, C5)`` at strides
+    4/8/16/32 instead of the single stride-16 map.
+    """
 
     block: str = "bottleneck"            # "basic" | "bottleneck"
-    blocks_num: Sequence[int] = (3, 4, 6)  # layer1..layer3 depths
+    blocks_num: Sequence[int] = (3, 4, 6)  # layer1..layer3 (+layer4) depths
     groups: int = 1
     width_per_group: int = 64
     dtype: Dtype = jnp.float32
+    pyramid: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -109,7 +115,8 @@ class ResNetFeatureExtraction(nn.Module):
         x = PReLU(name="relu")(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
 
-        channels = (64, 128, 256)
+        channels = (64, 128, 256, 512)[:len(self.blocks_num)]
+        taps = []
         for li, (ch, n) in enumerate(zip(channels, self.blocks_num)):
             stride = 1 if li == 0 else 2
             for bi in range(n):
@@ -125,9 +132,12 @@ class ResNetFeatureExtraction(nn.Module):
                                    width_per_group=self.width_per_group,
                                    dtype=self.dtype,
                                    name=f"layer{li + 1}_{bi}")(x, train)
-        return x
+            taps.append(x)
+        return tuple(taps) if self.pyramid else x
 
     @property
-    def out_channels(self) -> int:
+    def out_channels(self):
         exp = 1 if self.block == "basic" else 4
+        if self.pyramid:
+            return tuple(c * exp for c in (64, 128, 256, 512)[:len(self.blocks_num)])
         return 256 * exp

@@ -32,7 +32,8 @@ from two_stage_object_detection_tpu.nets.roi_head import RoIHead
 from two_stage_object_detection_tpu.nets.rpn import RPNHead, create_proposals
 from two_stage_object_detection_tpu.nets.targets import (
     anchor_target, proposal_target)
-from two_stage_object_detection_tpu.ops.anchors import make_anchors
+from two_stage_object_detection_tpu.ops.anchors import (
+    make_anchors, make_fpn_anchors)
 from two_stage_object_detection_tpu.ops.geometry import clip_boxes, loc2bbox
 from two_stage_object_detection_tpu.ops.nms import nms
 
@@ -46,19 +47,41 @@ class FasterRCNN(nn.Module):
         cfg = self.cfg
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         self.extractor, self.feat_channels = build_backbone(
-            cfg.backbone, dtype, remat=cfg.remat_backbone)
-        self.rpn_head = RPNHead(n_anchors=cfg.n_anchors_per_cell, dtype=dtype)
-        self.roi_head = RoIHead(n_class=cfg.num_classes + 1,
-                                roi_size=cfg.roi_size,
-                                pool_mode=cfg.roi_pool_mode,
-                                use_pallas=cfg.pallas_roi,
-                                roi_bwd=cfg.roi_bwd, dtype=dtype)
-        self.anchors = make_anchors(cfg)        # numpy compile-time constant
+            cfg.backbone, dtype, remat=cfg.remat_backbone, pyramid=cfg.fpn)
+        if cfg.fpn:
+            from two_stage_object_detection_tpu.nets.fpn import (
+                FPNNeck, FPNRPNHead, FPNRoIHead)
+            self.neck = FPNNeck(channels=cfg.fpn_channels, dtype=dtype)
+            self.rpn_head = FPNRPNHead(n_anchors=len(cfg.anchor_ratios),
+                                       channels=cfg.fpn_channels, dtype=dtype)
+            self.roi_head = FPNRoIHead(
+                n_class=cfg.num_classes + 1, roi_size=cfg.roi_size,
+                min_level=cfg.fpn_min_level,
+                n_pool_levels=cfg.fpn_max_level - cfg.fpn_min_level,
+                canonical_level=cfg.fpn_canonical_level,
+                canonical_size=cfg.fpn_canonical_size,
+                fc_dim=cfg.fpn_fc_dim, dtype=dtype)
+            self.anchors = make_fpn_anchors(cfg)
+        else:
+            self.rpn_head = RPNHead(n_anchors=cfg.n_anchors_per_cell,
+                                    dtype=dtype)
+            self.roi_head = RoIHead(n_class=cfg.num_classes + 1,
+                                    roi_size=cfg.roi_size,
+                                    pool_mode=cfg.roi_pool_mode,
+                                    use_pallas=cfg.pallas_roi,
+                                    roi_bwd=cfg.roi_bwd, dtype=dtype)
+            self.anchors = make_anchors(cfg)    # numpy compile-time constant
+
+    def _features(self, images: jnp.ndarray, train: bool):
+        """Backbone (+ FPN neck): the RPN/RoI-head input — a single
+        stride-16 map, or the (P2..P6) pyramid when ``cfg.fpn``."""
+        taps = self.extractor(images, train)
+        return self.neck(taps) if self.cfg.fpn else taps
 
     # ------------------------------------------------------------------ init
     def __call__(self, images: jnp.ndarray, train: bool = False):
         """Parameter-initialising forward (dummy rois through the head)."""
-        feats = self.extractor(images, train)
+        feats = self._features(images, train)
         rpn_locs, rpn_scores = self.rpn_head(feats)
         b = images.shape[0]
         rois = jnp.tile(jnp.array([[8.0, 8.0, 64.0, 64.0]], jnp.float32),
@@ -131,7 +154,7 @@ class FasterRCNN(nn.Module):
         img_size = images.shape[1:3]
         # freeze_bn keeps running statistics fixed while still training
         # weights (reference FasterRCNN.freeze_bn, nets/frcnn.py:56-59)
-        feats = self.extractor(images, train=train and not cfg.freeze_bn)
+        feats = self._features(images, train=train and not cfg.freeze_bn)
         rpn_locs, rpn_scores = self.rpn_head(feats)
         # proposals are non-differentiable samples (and the Pallas kernel has
         # no AD rule): cut the gradient at its inputs — RPN weights learn
@@ -238,7 +261,7 @@ class FasterRCNN(nn.Module):
         """
         cfg = self.cfg
         img_size = images.shape[1:3]
-        feats = self.extractor(images, train=False)
+        feats = self._features(images, train=False)
         rpn_locs, rpn_scores = self.rpn_head(feats)
         rois, _, roi_valid = self._proposals(rpn_locs, rpn_scores, img_size,
                                              train=False, scale=scale)

@@ -50,3 +50,40 @@ def make_anchors(cfg) -> np.ndarray:
                                  cfg.anchor_scales)
     fh, fw = cfg.feat_size
     return enumerate_shifted_anchor(base, cfg.feat_stride, fh, fw)
+
+
+def fpn_feat_sizes(input_size, min_level: int, max_level: int):
+    """Per-level feature (H, W) for strides ``2**min_level .. 2**max_level``.
+
+    Same ceil-halving geometry as ``Config.feat_size`` (stride-2 convs with
+    SAME padding): 600 -> 300 -> 150 -> 75 -> 38 -> 19 -> 10.
+    """
+    h, w = input_size
+    sizes = []
+    for lvl in range(1, max_level + 1):
+        h = (h + 1) // 2
+        w = (w + 1) // 2
+        if lvl >= min_level:
+            sizes.append((h, w))
+    return sizes
+
+
+def make_fpn_anchors(cfg) -> np.ndarray:
+    """Concatenated anchor table over the FPN pyramid (``[sum_l H_l*W_l*A, 4]``).
+
+    One size per level (side ``fpn_anchor_scale * 2**level``, i.e. 32/64/128/
+    256/512 px for P2-P6 at the default scale 8), ``cfg.anchor_ratios`` aspect
+    ratios — the standard FPN assignment (one octave per level replaces the
+    reference's three scales on one stride-16 map, ``utils/basic_anchors.py:
+    11-23``).  Level order matches the concatenated RPN outputs: P_min first,
+    row-major grid, ratios innermost.
+    """
+    sizes = fpn_feat_sizes(cfg.input_size, cfg.fpn_min_level, cfg.fpn_max_level)
+    tables = []
+    for lvl, (fh, fw) in zip(range(cfg.fpn_min_level, cfg.fpn_max_level + 1),
+                             sizes):
+        stride = 2 ** lvl
+        base = generate_basic_anchor(base_size=1, ratios=cfg.anchor_ratios,
+                                     anchor_scales=(cfg.fpn_anchor_scale * stride,))
+        tables.append(enumerate_shifted_anchor(base, stride, fh, fw))
+    return np.concatenate(tables, axis=0)

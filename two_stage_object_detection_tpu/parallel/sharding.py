@@ -15,7 +15,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def _spec_for(path: str, shape, model_axis: str) -> P:
     ndim = len(shape)
-    if ndim == 2 and ("Dense" in path or "cls_loc" in path or "score" in path):
+    if ndim == 2 and ("Dense" in path or "cls_loc" in path or "score" in path
+                      or "/fc1/" in path or "/fc2/" in path):
         return P(None, model_axis)            # [in, out] -> split out features
     # Backbone convs stay replicated: the HarDNet trunk is depthwise-grouped
     # throughout, and sharding any neighbouring 1x1 conv's output features
