@@ -177,7 +177,8 @@ def _device_batch(cfg, batch):
     }
 
 
-def bench_train(batch=16, backbone="hardnet39", roi_pool_mode="pool"):
+def bench_train(batch=16, backbone="hardnet39", roi_pool_mode="pool",
+                **cfg_kw):
     """Full optimisation step: fwd+bwd+optax apply, 32-step accumulation
     (the reference recipe: AdamW, loss/32, step every 32 — train.py:86-92)."""
     from two_stage_object_detection_tpu.config import Config
@@ -185,7 +186,7 @@ def bench_train(batch=16, backbone="hardnet39", roi_pool_mode="pool"):
         create_train_state, train_step_fn)
 
     cfg = Config(batch_size=batch, max_gt_boxes=16, backbone=backbone,
-                 roi_pool_mode=roi_pool_mode)
+                 roi_pool_mode=roi_pool_mode, **cfg_kw)
     _, state = create_train_state(cfg, jax.random.PRNGKey(0),
                                   init_image_size=(64, 64))
     batch_d = _device_batch(cfg, batch)
@@ -579,7 +580,8 @@ def bench_train_backbones(batch=16):
 
 VALID_CONFIGS = ("batched16", "single1", "resnet50", "rpn8", "train16",
                  "train_fast", "trainloop16", "pipeline", "serve",
-                 "backbones", "train_backbones", "int8", "evalsweep", "all")
+                 "backbones", "train_backbones", "int8", "evalsweep",
+                 "fpn", "all")
 # "all" = the BASELINE measurement matrix; the 7-way backbone sweep is
 # extra-credit breadth, selected explicitly
 ALL_SET = ("batched16", "single1", "resnet50", "rpn8", "train16",
@@ -664,6 +666,16 @@ def main():
         batches = tuple(int(b) for b in os.environ.get(
             "BENCH_SERVE_BATCHES", "1,2,4,8,16,32,64").split(","))
         results[key] = bench_serve(batches)
+    if "fpn" in sel:
+        # FPN variant (Config.fpn=True): multi-level inference + full train
+        # step; BENCH_BACKBONE picks the pyramid trunk (default resnet50,
+        # the classic FPN pairing)
+        fb = os.environ.get("BENCH_BACKBONE", "resnet50")
+        fcfg = cfg.replace(fpn=True, backbone=fb)
+        results[f"fpn_infer_{fb}"] = bench_inference(
+            f"fpn_infer [{fb}]", fcfg, 16)
+        results[f"fpn_train_{fb}"] = bench_train(batch=16, backbone=fb,
+                                                 fpn=True)
     if "backbones" in sel:
         results["backbones"] = bench_backbones()
     if "train_backbones" in sel:

@@ -210,3 +210,112 @@ def test_export_loads_into_reference_trainer():
     assert not res.unexpected_keys, res.unexpected_keys
     assert all(k.endswith("num_batches_tracked") for k in res.missing_keys), \
         res.missing_keys
+
+
+# ------------------------------------------------------- resnet backbones
+def _torch_resnet(name="resnet34"):
+    sys.path.insert(0, REFERENCE)
+    try:
+        import importlib
+        mod = importlib.import_module("models.resnet")
+    finally:
+        sys.path.remove(REFERENCE)
+    return getattr(mod, name)(include_top=False)
+
+
+def _torch_trunk(tm, x, n_stages=3):
+    """Reference resnet stem + layer1..layerN (stride-16 cut at N=3)."""
+    y = tm.maxpool(tm.relu(tm.bn1(tm.conv1(x))))
+    for li in range(1, n_stages + 1):
+        y = getattr(tm, f"layer{li}")(y)
+    return y
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="no reference checkout")
+@pytest.mark.parametrize("name,block", [("resnet34", "basic"),
+                                        ("resnet50", "bottleneck")])
+def test_resnet_backbone_import_parity(name, block):
+    """Reference torch resnet weights -> flax trunk, bit-level features."""
+    from two_stage_object_detection_tpu.models.resnet import (
+        ResNetFeatureExtraction)
+    from two_stage_object_detection_tpu.utils.torch_import import (
+        convert_resnet_state_dict)
+
+    torch.manual_seed(0)
+    tm = _torch_resnet(name)
+    tm.train()
+    with torch.no_grad():
+        for _ in range(2):
+            _torch_trunk(tm, torch.randn(2, 3, 64, 64))   # warm BN stats
+    tm.eval()
+
+    params, stats = convert_resnet_state_dict(
+        tm.state_dict(), block=block, blocks_num=(3, 4, 6))
+    fm = ResNetFeatureExtraction(block=block, blocks_num=(3, 4, 6),
+                                 dtype=jnp.float32)
+    x = np.random.RandomState(1).rand(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want = _torch_trunk(tm, torch.from_numpy(x)).numpy()     # NCHW
+    got = fm.apply({"params": params, "batch_stats": stats},
+                   jnp.asarray(np.transpose(x, (0, 2, 3, 1))), train=False)
+    np.testing.assert_allclose(np.transpose(np.asarray(got), (0, 3, 1, 2)),
+                               want, atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="no reference checkout")
+def test_resnet_import_torchvision_style_relu():
+    """Torchvision-style dicts (no PReLU keys) import as exact ReLU nets.
+
+    Pin the semantic claim behind ImageNet transfer: alpha=0 PReLU == ReLU,
+    so a checkpoint trained with ReLU computes identically here.
+    """
+    from two_stage_object_detection_tpu.models.resnet import (
+        ResNetFeatureExtraction)
+    from two_stage_object_detection_tpu.utils.torch_import import (
+        convert_resnet_state_dict)
+
+    torch.manual_seed(1)
+    tm = _torch_resnet("resnet34")
+    with torch.no_grad():                     # force PReLU == ReLU in torch
+        for m in tm.modules():
+            if isinstance(m, torch.nn.PReLU):
+                m.weight.zero_()
+    tm.eval()
+    sd = {k: v for k, v in tm.state_dict().items()
+          if not k.endswith("relu.weight")}   # torchvision has no such keys
+    params, stats = convert_resnet_state_dict(sd, block="basic",
+                                              blocks_num=(3, 4, 6))
+    fm = ResNetFeatureExtraction(block="basic", blocks_num=(3, 4, 6),
+                                 dtype=jnp.float32)
+    x = np.random.RandomState(2).rand(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want = _torch_trunk(tm, torch.from_numpy(x)).numpy()
+    got = fm.apply({"params": params, "batch_stats": stats},
+                   jnp.asarray(np.transpose(x, (0, 2, 3, 1))), train=False)
+    np.testing.assert_allclose(np.transpose(np.asarray(got), (0, 3, 1, 2)),
+                               want, atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="no reference checkout")
+def test_load_resnet_backbone_into_detector_state():
+    """load_resnet_backbone seeds a full detector TrainState (incl. FPN)."""
+    from tests.test_detector import tiny_config
+    from two_stage_object_detection_tpu.nets.trainer import create_train_state
+    from two_stage_object_detection_tpu.utils.torch_import import (
+        load_resnet_backbone)
+
+    torch.manual_seed(2)
+    tm = _torch_resnet("resnet34")
+    cfg = tiny_config(backbone="resnet34", fpn=True, fpn_channels=32,
+                      fpn_fc_dim=64)
+    _, state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                  init_image_size=(32, 32))
+    new = load_resnet_backbone(tm.state_dict(), state, block="basic",
+                               blocks_num=(3, 4, 6, 3))    # pyramid: +layer4
+    w = np.asarray(new.params["extractor"]["conv1"]["kernel"])
+    want = np.transpose(tm.state_dict()["conv1.weight"].numpy(), (2, 3, 1, 0))
+    np.testing.assert_array_equal(w, want)
+    # heads untouched
+    np.testing.assert_array_equal(
+        np.asarray(new.params["roi_head"]["cls_loc"]["kernel"]),
+        np.asarray(state.params["roi_head"]["cls_loc"]["kernel"]))

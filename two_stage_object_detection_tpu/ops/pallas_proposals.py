@@ -214,8 +214,18 @@ def _batched_kernel(locs_ref, scores_ref, anchors_ref,
 
 
 # VMEM holds ~12 [B, N] f32 rows of the anchor grid (~0.65 MB per image at
-# 13k anchors); 16 images stay well inside the ~16 MB budget.
+# 13k anchors); 16 images stay well inside the ~16 MB budget.  For bigger
+# anchor tables (FPN's P2-P6 pyramid is ~90k anchors -> ~2.9 MB/image,
+# measured 41.4 MB scoped-vmem OOM at batch 16) the chunk shrinks so each
+# kernel invocation stays under the scoped-VMEM budget.
 _MAX_KERNEL_BATCH = 16
+_VMEM_BUDGET_BYTES = 12 << 20     # leave headroom under the 16 MB/core limit
+_BYTES_PER_ANCHOR = 12 * 4        # ~12 live [B, N] f32 rows in the kernel
+
+
+def _kernel_chunk(n_pad: int) -> int:
+    per_image = n_pad * _BYTES_PER_ANCHOR
+    return max(1, min(_MAX_KERNEL_BATCH, _VMEM_BUDGET_BYTES // per_image))
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -239,14 +249,15 @@ def fused_proposals_batched(rpn_locs: jnp.ndarray, rpn_fg_scores: jnp.ndarray,
     per-image vmapped kernel).
     """
     bsz, n, _ = rpn_locs.shape
-    if bsz > _MAX_KERNEL_BATCH:
+    chunk = _kernel_chunk(_round_up(n, 128))
+    if bsz > chunk:
         splits = [
             fused_proposals_batched(
-                rpn_locs[i:i + _MAX_KERNEL_BATCH],
-                rpn_fg_scores[i:i + _MAX_KERNEL_BATCH], anchors, img_size,
+                rpn_locs[i:i + chunk],
+                rpn_fg_scores[i:i + chunk], anchors, img_size,
                 nms_iou=nms_iou, n_post_nms=n_post_nms, min_size=min_size,
                 interpret=interpret)
-            for i in range(0, bsz, _MAX_KERNEL_BATCH)]
+            for i in range(0, bsz, chunk)]
         return tuple(jnp.concatenate(parts, axis=0) for parts in zip(*splits))
 
     n_pad = _round_up(n, 128)

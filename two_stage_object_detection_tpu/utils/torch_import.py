@@ -268,6 +268,96 @@ def export_state_dict(params, batch_stats, arch: int = 39,
     return out
 
 
+# ------------------------------------------------------- resnet backbones
+def _bn_from(sd, prefix):
+    return ({"scale": _take(sd, f"{prefix}.weight"),
+             "bias": _take(sd, f"{prefix}.bias")},
+            {"mean": _take(sd, f"{prefix}.running_mean"),
+             "var": _take(sd, f"{prefix}.running_var")})
+
+
+def _prelu_alpha(sd, prefix):
+    """PReLU slope: reference resnets carry one (``models/resnet.py:11,54``);
+    torchvision ImageNet checkpoints use plain ReLU, which is exactly
+    PReLU with slope 0 — import as alpha=0.0 (still trainable after)."""
+    key = f"{prefix}.weight"
+    if key in sd:
+        return np.asarray(sd.pop(key), np.float32).reshape(())
+    return np.zeros((), np.float32)
+
+
+def convert_resnet_state_dict(sd: Dict[str, np.ndarray],
+                              block: str = "bottleneck",
+                              blocks_num=(3, 4, 6),
+                              ) -> Tuple[dict, dict]:
+    """torch ResNet/ResNeXt state dict -> flax extractor (params, stats).
+
+    Accepts both the reference's ``models/resnet.py`` checkpoints (which
+    carry per-block PReLU slopes) and **torchvision ImageNet checkpoints**
+    (same key layout minus the PReLU weights — standard ``conv1/bn1/
+    layer{L}.{B}.{conv,bn,downsample}`` naming), enabling pretrained
+    transfer-learning initialisation of the resnet* backbones.  Classifier
+    keys (``fc.*``) and stages beyond ``blocks_num`` (e.g. ``layer4`` for
+    the stride-16 trunk) are ignored.
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params: dict = {"conv1": {"kernel": _conv_kernel(_take(sd, "conv1.weight"))}}
+    stats: dict = {}
+    params["bn1"], stats["bn1"] = _bn_from(sd, "bn1")
+    params["relu"] = {"alpha": _prelu_alpha(sd, "relu")}
+
+    n_convs = 2 if block == "basic" else 3
+    for li, n in enumerate(blocks_num):
+        for bi in range(n):
+            tp = f"layer{li + 1}.{bi}"
+            fname = f"layer{li + 1}_{bi}"
+            bp: dict = {}
+            bs: dict = {}
+            for ci in range(1, n_convs + 1):
+                bp[f"conv{ci}"] = {
+                    "kernel": _conv_kernel(_take(sd, f"{tp}.conv{ci}.weight"))}
+                bp[f"bn{ci}"], bs[f"bn{ci}"] = _bn_from(sd, f"{tp}.bn{ci}")
+            if f"{tp}.downsample.0.weight" in sd:
+                bp["ds_conv"] = {
+                    "kernel": _conv_kernel(_take(sd, f"{tp}.downsample.0.weight"))}
+                bp["ds_norm"], bs["ds_norm"] = _bn_from(sd, f"{tp}.downsample.1")
+            bp["relu"] = {"alpha": _prelu_alpha(sd, f"{tp}.relu")}
+            params[fname] = bp
+            stats[fname] = bs
+    return params, stats
+
+
+def load_resnet_backbone(path_or_sd, state, block: str = "bottleneck",
+                         blocks_num=(3, 4, 6)):
+    """Initialise a TrainState's resnet* extractor from a torch checkpoint.
+
+    ``path_or_sd``: a ``.pth`` path or an in-memory state dict — e.g.
+    torchvision's ``resnet50(weights=...).state_dict()`` for ImageNet
+    pretraining (a capability the reference lacks: its resnets are dead
+    code, ``models/resnet.py:154-172``, and always random-init).  Only the
+    backbone subtree is touched; heads keep their current values.
+    """
+    import jax
+
+    if isinstance(path_or_sd, (str, bytes)):
+        import torch
+        raw = torch.load(path_or_sd, map_location="cpu", weights_only=True)
+        sd = raw.get("model_state_dict", raw) if isinstance(raw, dict) else raw
+    else:
+        sd = path_or_sd
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    ex_params, ex_stats = convert_resnet_state_dict(sd, block=block,
+                                                    blocks_num=blocks_num)
+
+    host_params = jax.device_get(jax.tree_util.tree_map(np.asarray,
+                                                        dict(state.params)))
+    host_stats = jax.device_get(jax.tree_util.tree_map(np.asarray,
+                                                       dict(state.batch_stats)))
+    new_params = _merge_check(host_params, {"extractor": ex_params})
+    new_stats = _merge_check(host_stats, {"extractor": ex_stats})
+    return state.replace(params=new_params, batch_stats=new_stats)
+
+
 def load_torch_checkpoint(path: str, state, arch: int = 39,
                           depth_wise: bool = True):
     """Load a reference ``.pth`` (or raw state dict file) into a TrainState.
