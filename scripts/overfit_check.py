@@ -6,7 +6,8 @@ verifies mAP@0.5 (true-inference path) climbs well above chance — evidence
 that proposals, target assignment, losses, and the optimiser all cooperate.
 
 Usage: python scripts/overfit_check.py [steps] [backbone] [roi_pool_mode]
-(defaults 300, hardnet39, pool)
+(defaults 300, hardnet39, pool; a ``-fpn`` backbone suffix, e.g.
+``resnet50-fpn``, runs the FPN variant)
 """
 
 import sys
@@ -29,7 +30,10 @@ from two_stage_object_detection_tpu.nets.trainer import (
 
 def main(steps: int = 300, backbone: str = "hardnet39",
          roi_pool_mode: str = "pool"):
+    fpn = backbone.endswith("-fpn")
+    backbone = backbone.removesuffix("-fpn")
     cfg = Config(
+        fpn=fpn,
         input_size=(320, 320), num_classes=3, batch_size=4, max_gt_boxes=8,
         n_train_pre_nms=2000, n_train_post_nms=256, n_test_pre_nms=1000,
         n_test_post_nms=128, roi_n_sample=64, grad_accum_steps=1, lr=1e-3,

@@ -395,3 +395,19 @@ def test_predictor_yuv420_rejects_bad_requests(served, rng):
         pred(_images(rng, 1, cfg))          # float RGB
     with pytest.raises(ValueError):
         pred(np.zeros((1, 7, 7), np.uint8))  # wrong packed shape
+
+
+@pytest.mark.slow
+def test_predictor_fpn_matches_predict_step(rng):
+    """The serving surface works unchanged for the FPN variant."""
+    cfg = tiny_config(backbone="resnet34", fpn=True, fpn_channels=32,
+                      fpn_fc_dim=64)
+    _, state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                  init_image_size=(32, 32))
+    pred = Predictor(cfg, state.params, state.batch_stats, batch_sizes=(2,))
+    imgs = _images(rng, 2, cfg)
+    out = pred(imgs)
+    want = jax.device_get(predict_step(state, jnp.asarray(imgs)))
+    for got, ref in zip((out[k] for k in ("boxes", "scores", "labels",
+                                          "valid")), want):
+        np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-5, atol=1e-5)

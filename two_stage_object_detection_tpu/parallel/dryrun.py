@@ -120,9 +120,23 @@ def run_dryrun(n_devices: int) -> float:
     print(f"dryrun spatial: mesh={dict(smesh.shape)} loss={total_s:.4f} "
           f"predict_dets={n_det} OK", flush=True)
 
+    # ---- FPN variant on the dp+tp mesh (round-4 capability) ----
+    cfg_f = cfg.replace(fpn=True, fpn_channels=16, fpn_fc_dim=32,
+                        backbone="resnet34")
+    _, state_f = create_train_state(cfg_f, jax.random.PRNGKey(0),
+                                    init_image_size=(32, 32))
+    state_f = place_train_state(state_f, mesh)
+    with mesh:
+        state_f, losses_f = train_step(state_f, shard_batch(batch, mesh),
+                                       jax.random.PRNGKey(1))
+        total_f = float(jax.device_get(losses_f["total"]))
+    assert np.isfinite(total_f), total_f
+    print(f"dryrun fpn: mesh={dict(mesh.shape)} loss={total_f:.4f} OK",
+          flush=True)
+
     print(f"dryrun_multichip({n_devices}): mesh={dict(mesh.shape)} "
           f"loss={total:.4f} OK; spatial mesh={dict(smesh.shape)} "
-          f"loss={total_s:.4f} OK")
+          f"loss={total_s:.4f} OK; fpn loss={total_f:.4f} OK")
     return total
 
 
