@@ -23,11 +23,14 @@ def generate_synthetic_coco(root: str, split: str = "train2017",
                             num_images: int = 8, num_classes: int = 3,
                             image_size: Tuple[int, int] = (160, 200),
                             max_boxes: int = 4, seed: int = 0,
-                            fmt: str = "png"):
+                            fmt: str = "png",
+                            box_frac: Tuple[float, float] = (0.125, 0.5)):
     """Write ``root/{split}`` images + ``root/annotations/instances_{split}.json``.
 
     ``fmt``: "png" (lossless fixtures) or "jpg" (COCO-realistic decode cost
-    for host-pipeline benchmarks).  Returns ``(ann_path, image_dir)``.
+    for host-pipeline benchmarks).  ``box_frac``: box side range as a
+    fraction of the image dims (small-object experiments use e.g.
+    ``(0.03, 0.08)``).  Returns ``(ann_path, image_dir)``.
     """
     rng = np.random.RandomState(seed)
     img_dir = os.path.join(root, split)
@@ -43,8 +46,9 @@ def generate_synthetic_coco(root: str, split: str = "train2017",
         n = rng.randint(1, max_boxes + 1)
         for _ in range(n):
             cls = int(rng.randint(num_classes))
-            bw = rng.randint(max(w // 8, 8), w // 2)
-            bh = rng.randint(max(h // 8, 8), h // 2)
+            lo, hi = box_frac
+            bw = rng.randint(max(int(w * lo), 4), max(int(w * hi), 5))
+            bh = rng.randint(max(int(h * lo), 4), max(int(h * hi), 5))
             x = int(rng.randint(0, w - bw))
             y = int(rng.randint(0, h - bh))
             canvas[y:y + bh, x:x + bw] = _COLORS[cls % len(_COLORS)]
