@@ -107,6 +107,70 @@ def test_batched_chunking(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-6)
 
 
+def test_truncated_matches_reference(rng):
+    """n_pre_nms path (decode in XLA + exact top-k + NMS-only kernel) must
+    equal create_proposals with the same truncation, per image."""
+    anchors = _anchors(8, 8)                   # 384 anchors
+    n = anchors.shape[0]
+    b = 3
+    n_pre = 64                                 # 6*n_pre <= n -> path engaged
+    locs = jnp.array(rng.randn(b, n, 4).astype(np.float32) * 0.1)
+    scores = jnp.array(rng.rand(b, n).astype(np.float32))
+
+    rois_b, scores_b, valid_b = fused_proposals_batched(
+        locs, scores, anchors, (128, 128), nms_iou=0.7, n_post_nms=16,
+        min_size=2.0, n_pre_nms=n_pre, interpret=True)
+    for i in range(b):
+        r, s, v = create_proposals(locs[i], scores[i], anchors, (128, 128),
+                                   nms_iou=0.7, n_pre_nms=n_pre,
+                                   n_post_nms=16, min_size=2.0)
+        np.testing.assert_array_equal(np.asarray(valid_b[i]), np.asarray(v))
+        np.testing.assert_allclose(np.asarray(rois_b[i])[np.asarray(v)],
+                                   np.asarray(r)[np.asarray(v)], rtol=1e-5,
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(scores_b[i])[np.asarray(v)],
+                                   np.asarray(s)[np.asarray(v)], rtol=1e-6)
+
+
+def test_truncated_disengages_when_cut_is_small(rng):
+    """A cut below the 6x engage threshold keeps the fused full-set kernel
+    (superset semantics, no top_k) — results equal the untruncated call."""
+    anchors = _anchors()
+    n = anchors.shape[0]
+    locs = jnp.array(rng.randn(2, n, 4).astype(np.float32) * 0.1)
+    scores = jnp.array(rng.rand(2, n).astype(np.float32))
+    full = fused_proposals_batched(locs, scores, anchors, (64, 64),
+                                   nms_iou=0.7, n_post_nms=8, min_size=2.0,
+                                   interpret=True)
+    guarded = fused_proposals_batched(locs, scores, anchors, (64, 64),
+                                      nms_iou=0.7, n_post_nms=8, min_size=2.0,
+                                      n_pre_nms=n - 1, interpret=True)
+    for a, g in zip(full, guarded):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(g), rtol=1e-6)
+
+
+def test_truncated_chunking(rng):
+    """Truncated path splits batches over the VMEM chunk and reassembles."""
+    import two_stage_object_detection_tpu.ops.pallas_proposals as pp
+    anchors = _anchors(8, 8)
+    n = anchors.shape[0]
+    b = 5
+    locs = jnp.array(rng.randn(b, n, 4).astype(np.float32) * 0.1)
+    scores = jnp.array(rng.rand(b, n).astype(np.float32))
+    kw = dict(nms_iou=0.7, n_post_nms=8, min_size=2.0, n_pre_nms=64,
+              interpret=True)
+    full = fused_proposals_batched(locs, scores, anchors, (128, 128), **kw)
+    orig = pp._MAX_KERNEL_BATCH
+    try:
+        pp._MAX_KERNEL_BATCH = 2
+        chunked = fused_proposals_batched.__wrapped__(
+            locs, scores, anchors, (128, 128), **kw)
+    finally:
+        pp._MAX_KERNEL_BATCH = orig
+    for a, c in zip(full, chunked):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-6)
+
+
 def test_fused_vmap(rng):
     anchors = _anchors()
     n = anchors.shape[0]

@@ -123,6 +123,7 @@ class FasterRCNN(nn.Module):
                 rpn_locs, fg, anchors, tuple(img_size),
                 nms_iou=cfg.rpn_nms_iou, n_post_nms=n_post,
                 min_size=cfg.proposal_min_size * scale,
+                n_pre_nms=cfg.n_train_pre_nms if train else cfg.n_test_pre_nms,
                 # pallas="on" with a CPU backend runs the kernel interpreted
                 interpret=jax.default_backend() == "cpu")
         fn = functools.partial(
