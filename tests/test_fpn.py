@@ -156,3 +156,26 @@ def test_fpn_train_under_mesh_matches_single_device(rng):
     _, losses_m = train_step(state, batch_m, jax.random.PRNGKey(1))
     np.testing.assert_allclose(float(losses_m["total"]),
                                float(losses_ref["total"]), rtol=2e-4)
+
+
+def test_fpn_head_windowed_matches_dense(rng):
+    """Config.fpn_roi_window=32 (default) vs 0 (dense) — same predictions
+    up to summation order, same params tree."""
+    from two_stage_object_detection_tpu.nets.detector import FasterRCNN
+    import numpy as np
+
+    imgs = jnp.asarray(rng.rand(2, 64, 64, 3).astype("float32"))
+    cfg_w = fpn_config(input_size=(64, 64), n_test_pre_nms=64,
+                       n_test_post_nms=16, max_detections=8)
+    cfg_d = cfg_w.replace(fpn_roi_window=0)
+    m_w, m_d = FasterRCNN(cfg_w), FasterRCNN(cfg_d)
+    v = m_w.init(jax.random.PRNGKey(0), imgs, train=False)
+    assert jax.tree.structure(v) == jax.tree.structure(
+        m_d.init(jax.random.PRNGKey(0), imgs, train=False))
+
+    out_w = m_w.apply(v, imgs, method="predict")
+    out_d = m_d.apply(v, imgs, method="predict")
+    for a, b in zip(out_w, out_d):
+        np.testing.assert_allclose(np.asarray(a, dtype=np.float32),
+                                   np.asarray(b, dtype=np.float32),
+                                   rtol=1e-3, atol=1e-3)

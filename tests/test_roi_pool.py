@@ -211,3 +211,58 @@ def test_roi_ops_vmap(rng):
     single = np.stack([np.asarray(roi_pool(jnp.array(feats[i]), jnp.array(rois[i]), 7, 1.0 / 16))
                        for i in range(2)])
     np.testing.assert_allclose(np.asarray(batched), single, rtol=1e-5)
+
+
+class TestMultilevelWindowed:
+    """Windowed multi-level RoIAlign vs the dense per-level blend."""
+
+    def _setup(self, rng):
+        import importlib
+        rp = importlib.import_module(
+            "two_stage_object_detection_tpu.ops.roi_pool")
+        from two_stage_object_detection_tpu.nets.fpn import fpn_level_assign
+        levels_hw = [(40, 40), (20, 20), (10, 10), (5, 5)]
+        scales = tuple((h / 160.0, w / 160.0) for h, w in levels_hw)
+        pyr = [jnp.asarray(rng.rand(h, w, 16), jnp.float32)
+               for h, w in levels_hw]
+        return rp, fpn_level_assign, pyr, scales
+
+    def test_matches_dense_all_levels(self, rng):
+        rp, assign, pyr, scales = self._setup(rng)
+        # sides chosen to hit every level; aspect <= 2 so windows cover
+        sides = rng.choice([20, 60, 150, 300, 450], size=24)
+        ar = rng.uniform(0.5, 2.0, size=24)
+        bw, bh = sides * np.sqrt(ar), sides / np.sqrt(ar)
+        x1 = rng.rand(24) * 159
+        y1 = rng.rand(24) * 159
+        rois = jnp.asarray(np.stack([x1, y1, x1 + bw, y1 + bh], -1),
+                           jnp.float32)
+        levels = assign(rois, 2, 5) - 2
+        assert len(set(np.asarray(levels).tolist())) >= 3  # spread
+
+        got = rp.multilevel_roi_align(pyr, rois, levels, scales, 7,
+                                      window=32)
+        oh = jax.nn.one_hot(levels, 4)
+        want = sum(
+            rp.roi_align_mm(pyr[li],
+                            rois * jnp.array([scales[li][1], scales[li][0]]
+                                             * 2), 7, 1.0)
+            * oh[:, li][:, None, None, None]
+            for li in range(4))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_grad_flows_to_pyramid(self, rng):
+        rp, assign, pyr, scales = self._setup(rng)
+        rois = jnp.asarray([[8.0, 8.0, 70.0, 70.0],
+                            [4.0, 4.0, 20.0, 24.0]], jnp.float32)
+        levels = assign(rois, 2, 5) - 2
+
+        def loss(p0):
+            out = rp.multilevel_roi_align([p0] + pyr[1:], rois, levels,
+                                          scales, 7, window=32)
+            return jnp.sum(out ** 2)
+
+        g = jax.grad(loss)(pyr[0])
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.sum(jnp.abs(g))) > 0.0

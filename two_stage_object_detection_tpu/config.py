@@ -116,6 +116,10 @@ class Config:
     fpn_canonical_level: int = 4      # RoI level assignment anchor point
     fpn_canonical_size: float = 224.0
     fpn_fc_dim: int = 1024            # box-head MLP width
+    # multi-level RoIAlign mode: each roi pools a [window, window] slice of
+    # its assigned level (1.7x the dense 4-level blend at fpn_infer scale;
+    # exact for boxes of aspect <~5, edge-clamped beyond).  0 = dense.
+    fpn_roi_window: int = 32
 
     # losses (reference nets/frcnn_training.py:198-199, train/train.py:86-92)
     rpn_sigma: float = 1.0

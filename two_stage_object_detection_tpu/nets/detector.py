@@ -60,7 +60,8 @@ class FasterRCNN(nn.Module):
                 n_pool_levels=cfg.fpn_max_level - cfg.fpn_min_level,
                 canonical_level=cfg.fpn_canonical_level,
                 canonical_size=cfg.fpn_canonical_size,
-                fc_dim=cfg.fpn_fc_dim, dtype=dtype)
+                fc_dim=cfg.fpn_fc_dim, window=cfg.fpn_roi_window,
+                dtype=dtype)
             self.anchors = make_fpn_anchors(cfg)
         else:
             self.rpn_head = RPNHead(n_anchors=cfg.n_anchors_per_cell,
@@ -208,7 +209,16 @@ class FasterRCNN(nn.Module):
                     rois, roi_valid, gt_boxes, gt_valid, gt_labels, pt_keys)
 
         # ---- head ----
-        roi_cls_locs, roi_scores = self.roi_head(feats, sample_roi, img_size)
+        if cfg.fpn:
+            # windowed pooling's backward is a scatter-add (measured 19 ms
+            # SLOWER per train step than dense's MXU matmul VJP at R=128);
+            # the dense blend stays the training path, windowed serves
+            # the no-grad predict path (numerics agree where windows cover)
+            roi_cls_locs, roi_scores = self.roi_head(
+                feats, sample_roi, img_size, use_window=False)
+        else:
+            roi_cls_locs, roi_scores = self.roi_head(
+                feats, sample_roi, img_size)
         s = cfg.roi_n_sample
         locs4 = roi_cls_locs.reshape(roi_cls_locs.shape[0], s, -1, 4)
         # gather the GT class's regression (frcnn_training.py:311-318)

@@ -29,7 +29,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from two_stage_object_detection_tpu.ops.roi_pool import roi_align_mm
+from two_stage_object_detection_tpu.ops.roi_pool import (
+    multilevel_roi_align, roi_align_mm)
 
 Dtype = Any
 
@@ -144,28 +145,46 @@ class FPNRoIHead(nn.Module):
     canonical_level: int = 4
     canonical_size: float = 224.0
     fc_dim: int = 1024
+    window: int = 32                  # 0 = dense 4-level pooling
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, pyramid: Sequence[jnp.ndarray], rois: jnp.ndarray,
-                 img_size):
+                 img_size, use_window: bool = True):
         img_h, img_w = img_size
         max_level = self.min_level + self.n_pool_levels - 1
         levels = jax.vmap(lambda r: fpn_level_assign(
             r, self.min_level, max_level, self.canonical_level,
             self.canonical_size))(rois)                       # [B, R]
-        onehot = jax.nn.one_hot(levels - self.min_level, self.n_pool_levels,
-                                dtype=jnp.float32)            # [B, R, L]
 
-        pooled = None
-        for li in range(self.n_pool_levels):
-            feats = pyramid[li]
-            _, fh, fw, _ = feats.shape
-            scale = jnp.array([fw / img_w, fh / img_h] * 2, jnp.float32)
-            p = jax.vmap(lambda f, r: roi_align_mm(
-                f, r, self.roi_size, 1.0))(feats, rois * scale)  # [B,R,P,P,C]
-            w = onehot[:, :, li][..., None, None, None].astype(p.dtype)
-            pooled = p * w if pooled is None else pooled + p * w
+        if self.window and use_window:
+            # windowed single-level pooling: each roi reads one static
+            # [window, window, C] slice of its assigned level — measured
+            # 26.7 vs 46.6 ms at fpn_infer scale vs the dense blend
+            # (scripts/ablate_fpn_roihead.py); equal wherever the window
+            # covers the roi's span (every box of aspect <~5 at its
+            # assigned level, tests/test_roi_pool.py)
+            scales = tuple(
+                (pyramid[li].shape[1] / img_h, pyramid[li].shape[2] / img_w)
+                for li in range(self.n_pool_levels))  # same as dense fw/img_w
+            pooled = jax.vmap(
+                lambda pyr_i, rois_i, lv_i: multilevel_roi_align(
+                    pyr_i, rois_i, lv_i - self.min_level, scales,
+                    self.roi_size, window=self.window)
+            )(tuple(pyramid[:self.n_pool_levels]), rois, levels)
+        else:
+            onehot = jax.nn.one_hot(
+                levels - self.min_level, self.n_pool_levels,
+                dtype=jnp.float32)                            # [B, R, L]
+            pooled = None
+            for li in range(self.n_pool_levels):
+                feats = pyramid[li]
+                _, fh, fw, _ = feats.shape
+                scale = jnp.array([fw / img_w, fh / img_h] * 2, jnp.float32)
+                p = jax.vmap(lambda f, r: roi_align_mm(
+                    f, r, self.roi_size, 1.0))(feats, rois * scale)
+                w = onehot[:, :, li][..., None, None, None].astype(p.dtype)
+                pooled = p * w if pooled is None else pooled + p * w
 
         flat = pooled.reshape(*pooled.shape[:2], -1).astype(self.dtype)
         x = nn.relu(nn.Dense(self.fc_dim, dtype=self.dtype, name="fc1")(flat))

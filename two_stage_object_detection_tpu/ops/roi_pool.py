@@ -292,3 +292,114 @@ def roi_align(features: jnp.ndarray, rois: jnp.ndarray, output_size: int = 7,
     samples = bilinear(sy, sx)                          # [R, P*S, P*S, C]
     samples = samples.reshape(-1, p, s, p, s, c)
     return samples.mean(axis=(2, 4))                    # [R, P, P, C]
+
+
+def _align_weights_local(c_global: jnp.ndarray, origin: jnp.ndarray,
+                         p: int, s: int, win: int) -> jnp.ndarray:
+    """Window-relative RoIAlign weights: ``[R, P, win]``.
+
+    ``c_global [R, P*S]`` are the already-clipped sample coordinates on the
+    full level map (exactly :func:`_align_weights`' ``c``); ``origin [R]``
+    is each roi's window start.  Samples are clamped into the window — a
+    no-op whenever the window covers the roi's span (see
+    :func:`multilevel_roi_align`), the documented edge-clamp approximation
+    otherwise.
+    """
+    c = jnp.clip(c_global - origin[:, None].astype(jnp.float32),
+                 0.0, win - 1.0)
+    i0 = jnp.floor(c).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, win - 1)
+    f = c - i0
+    w = (jax.nn.one_hot(i0, win, dtype=jnp.float32) * (1.0 - f)[..., None]
+         + jax.nn.one_hot(i1, win, dtype=jnp.float32) * f[..., None])
+    return w.reshape(-1, p, s, win).sum(axis=2) / s      # [R, P, win]
+
+
+def multilevel_roi_align(pyramid, rois: jnp.ndarray, levels: jnp.ndarray,
+                         scales, output_size: int = 7,
+                         sampling_ratio: int = 2, window: int = 32,
+                         aligned: bool = False) -> jnp.ndarray:
+    """FPN multi-level RoIAlign via per-roi windows (TPU fast path).
+
+    The dense form (:func:`roi_align_mm` per level, one-hot blend) pays for
+    every roi on every level: at fpn_infer scale its per-level [R*P, H]@
+    [H, W*C] matmuls plus 4x per-roi batched stage-2 einsums measure 46 ms
+    of a 71 ms predict (scripts/profile_fpn.py).  Here each roi reads ONE
+    static ``[window, window, C]`` slice of its ASSIGNED level (the FPN
+    paper's eq.-1 assignment bounds a roi's span at its own level to
+    sqrt-area 7-28 cells, so a 32-cell window covers every box of aspect
+    ratio <~ 5; beyond that the samples edge-clamp — a documented
+    approximation for degenerate boxes) and both interpolation matmuls run
+    at K=window instead of K=H_level.
+
+    Args:
+      pyramid: per-level ``[H_l, W_l, C]`` features (RoI levels, e.g. P2..P5).
+      rois: ``[R, 4]`` xyxy in IMAGE coordinates.
+      levels: ``[R]`` int32 index into ``pyramid`` (0 = finest).
+      scales: per-level image->feature coordinate scale — either scalars
+        (``1/stride``) or ``(sy, sx)`` pairs (``feat/img``, matching the
+        dense path's ceil-halving geometry on non-multiple sizes).
+
+    Returns:
+      ``[R, P, P, C]`` pooled features, equal to the dense per-level
+      :func:`roi_align_mm` + one-hot blend wherever the window covers
+      (pinned by tests/test_roi_pool.py::test_multilevel_windowed_*).
+    """
+    p, s, win = output_size, sampling_ratio, window
+    c_feat = pyramid[0].shape[-1]
+    dt = pyramid[0].dtype
+
+    # --- level atlas: blocks (padded to >= win per axis) stacked on rows ---
+    w_pad = max(max(int(f.shape[1]) for f in pyramid), win)
+    blocks, row_off, block_h = [], [], []
+    off = 0
+    for f in pyramid:
+        h_l, w_l = int(f.shape[0]), int(f.shape[1])
+        hb = max(h_l, win)
+        blocks.append(jnp.pad(f, ((0, hb - h_l), (0, w_pad - w_l), (0, 0))))
+        row_off.append(off)
+        block_h.append(hb)
+        off += hb
+    atlas = jnp.concatenate(blocks, axis=0)              # [sum_hb, w_pad, C]
+
+    sizes = jnp.asarray([[f.shape[0], f.shape[1]] for f in pyramid],
+                        jnp.float32)                     # [L, 2] (H, W)
+    sc = jnp.asarray(scales, jnp.float32)
+    if sc.ndim == 1:                                     # scalar = 1/stride
+        sc = jnp.stack([sc, sc], axis=-1)                # [L, 2] (sy, sx)
+    row_off_t = jnp.asarray(row_off, jnp.int32)
+    block_h_t = jnp.asarray(block_h, jnp.int32)
+
+    off05 = 0.5 if aligned else 0.0
+    sy = sc[levels, 0]
+    sx = sc[levels, 1]                                   # [R]
+    r4 = (rois.astype(jnp.float32)
+          * jnp.stack([sx, sy, sx, sy], axis=-1) - off05)
+    h_l = sizes[levels, 0]
+    w_l = sizes[levels, 1]
+    roi_w = jnp.maximum(r4[:, 2] - r4[:, 0], 1.0)
+    roi_h = jnp.maximum(r4[:, 3] - r4[:, 1], 1.0)
+
+    grid = (jnp.arange(p)[:, None]
+            + (jnp.arange(s)[None, :] + 0.5) / s).reshape(-1)    # [P*S]
+    cy = jnp.clip(r4[:, 1:2] + grid[None, :] * (roi_h / p)[:, None],
+                  0.0, (h_l - 1.0)[:, None])             # [R, P*S]
+    cx = jnp.clip(r4[:, 0:1] + grid[None, :] * (roi_w / p)[:, None],
+                  0.0, (w_l - 1.0)[:, None])
+
+    # window origins: cover from floor(first sample); clamp into the block
+    oy = jnp.clip(jnp.floor(cy[:, 0]).astype(jnp.int32), 0,
+                  block_h_t[levels] - win)               # [R] block-local
+    ox = jnp.clip(jnp.floor(cx[:, 0]).astype(jnp.int32), 0, w_pad - win)
+
+    wy = _align_weights_local(cy, oy, p, s, win)         # [R, P, win]
+    wx = _align_weights_local(cx, ox, p, s, win)
+
+    starts_y = row_off_t[levels] + oy                    # [R] atlas rows
+    windows = jax.vmap(
+        lambda y0, x0: jax.lax.dynamic_slice(
+            atlas, (y0, x0, 0), (win, win, c_feat)))(starts_y, ox)
+
+    # stage 1: contract the window rows; stage 2: the window columns
+    s1 = jnp.einsum("rph,rhwc->rpwc", wy.astype(dt), windows)
+    return jnp.einsum("rqw,rpwc->rpqc", wx.astype(dt), s1)
