@@ -266,3 +266,85 @@ class TestMultilevelWindowed:
         g = jax.grad(loss)(pyr[0])
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.sum(jnp.abs(g))) > 0.0
+
+
+class TestMultilevelHybrid:
+    """multilevel_roi_align_hybrid: windowed forward, dense matmul backward."""
+
+    def _setup(self, rng):
+        import importlib
+        rp = importlib.import_module(
+            "two_stage_object_detection_tpu.ops.roi_pool")
+        from two_stage_object_detection_tpu.nets.fpn import fpn_level_assign
+        levels_hw = [(40, 40), (20, 20), (10, 10), (5, 5)]
+        scales = tuple((h / 160.0, w / 160.0) for h, w in levels_hw)
+        pyr = tuple(jnp.asarray(rng.rand(h, w, 16), jnp.float32)
+                    for h, w in levels_hw)
+        sides = rng.choice([20, 60, 150, 300], size=12)
+        ar = rng.uniform(0.5, 2.0, size=12)
+        bw, bh = sides * np.sqrt(ar), sides / np.sqrt(ar)
+        x1, y1 = rng.rand(12) * 100, rng.rand(12) * 100
+        rois = jnp.asarray(np.stack([x1, y1, x1 + bw, y1 + bh], -1),
+                           jnp.float32)
+        levels = fpn_level_assign(rois, 2, 5) - 2
+        return rp, pyr, rois, levels, scales
+
+    def test_forward_is_windowed(self, rng):
+        rp, pyr, rois, levels, scales = self._setup(rng)
+        got = rp.multilevel_roi_align_hybrid(pyr, rois, levels, scales,
+                                             7, 2, 32, False)
+        want = rp.multilevel_roi_align(pyr, rois, levels, scales, 7,
+                                       window=32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
+    def test_backward_matches_dense_blend(self, rng):
+        """grad through the hybrid == autodiff grad of the dense one-hot
+        blend (the training-path gradient it substitutes for)."""
+        rp, pyr, rois, levels, scales = self._setup(rng)
+        g_out = jnp.asarray(rng.randn(12, 7, 7, 16), jnp.float32)
+
+        def hybrid_loss(p):
+            out = rp.multilevel_roi_align_hybrid(p, rois, levels, scales,
+                                                 7, 2, 32, False)
+            return jnp.sum(out * g_out)
+
+        def dense_loss(p):
+            oh = jax.nn.one_hot(levels, 4)
+            out = sum(
+                rp.roi_align_mm(p[li],
+                                rois * jnp.array([scales[li][1],
+                                                  scales[li][0]] * 2), 7, 1.0)
+                * oh[:, li][:, None, None, None]
+                for li in range(4))
+            return jnp.sum(out * g_out)
+
+        gh = jax.grad(hybrid_loss)(pyr)
+        gd = jax.grad(dense_loss)(pyr)
+        for a, b in zip(gh, gd):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_roi_cotangent_is_zero(self, rng):
+        rp, pyr, rois, levels, scales = self._setup(rng)
+
+        def loss(r):
+            out = rp.multilevel_roi_align_hybrid(pyr, r, levels, scales,
+                                                 7, 2, 32, False)
+            return jnp.sum(out)
+
+        g = jax.grad(loss)(rois)
+        np.testing.assert_allclose(np.asarray(g), 0.0)
+
+    def test_vmap_matches_loop(self, rng):
+        rp, pyr, rois, levels, scales = self._setup(rng)
+        pyr_b = tuple(jnp.stack([f, f * 2.0]) for f in pyr)
+        rois_b = jnp.stack([rois, rois + 3.0])
+        lv_b = jnp.stack([levels, levels])
+        batched = jax.vmap(lambda p, r, l: rp.multilevel_roi_align_hybrid(
+            p, r, l, scales, 7, 2, 32, False))(pyr_b, rois_b, lv_b)
+        for i in range(2):
+            one = rp.multilevel_roi_align_hybrid(
+                tuple(f[i] for f in pyr_b), rois_b[i], lv_b[i], scales,
+                7, 2, 32, False)
+            np.testing.assert_allclose(np.asarray(batched[i]),
+                                       np.asarray(one), rtol=1e-5, atol=1e-6)

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from two_stage_object_detection_tpu.ops.roi_pool import (
-    multilevel_roi_align, roi_align_mm)
+    multilevel_roi_align, multilevel_roi_align_hybrid, roi_align_mm)
 
 Dtype = Any
 
@@ -157,20 +157,27 @@ class FPNRoIHead(nn.Module):
             r, self.min_level, max_level, self.canonical_level,
             self.canonical_size))(rois)                       # [B, R]
 
-        if self.window and use_window:
+        if self.window:
             # windowed single-level pooling: each roi reads one static
             # [window, window, C] slice of its assigned level — measured
             # 26.7 vs 46.6 ms at fpn_infer scale vs the dense blend
             # (scripts/ablate_fpn_roihead.py); equal wherever the window
             # covers the roi's span (every box of aspect <~5 at its
-            # assigned level, tests/test_roi_pool.py)
+            # assigned level, tests/test_roi_pool.py).  The no-grad predict
+            # path (use_window=True) differentiates nothing; the train path
+            # uses the hybrid form — same windowed forward, but the DENSE
+            # matmul backward (the windowed autodiff backward is a
+            # scatter-add measured 19 ms/step slower at train scale).
             scales = tuple(
                 (pyramid[li].shape[1] / img_h, pyramid[li].shape[2] / img_w)
                 for li in range(self.n_pool_levels))  # same as dense fw/img_w
+            pool_fn = (multilevel_roi_align if use_window
+                       else multilevel_roi_align_hybrid)
             pooled = jax.vmap(
-                lambda pyr_i, rois_i, lv_i: multilevel_roi_align(
+                # positional args: custom_vjp + nondiff_argnums forbids kwargs
+                lambda pyr_i, rois_i, lv_i: pool_fn(
                     pyr_i, rois_i, lv_i - self.min_level, scales,
-                    self.roi_size, window=self.window)
+                    self.roi_size, 2, self.window, False)
             )(tuple(pyramid[:self.n_pool_levels]), rois, levels)
         else:
             onehot = jax.nn.one_hot(

@@ -94,7 +94,15 @@ def anchor_target(anchors: jnp.ndarray, gt_boxes: jnp.ndarray,
     neg_keep = _take_first_k(neg, n_sample - n_pos, kn)
     label = jnp.where(neg & ~neg_keep, -1, label)
 
-    loc = bbox2loc(anchors, gt_boxes[argmax_ious])
+    # one-hot matmul instead of the row gather gt_boxes[argmax_ious]: at FPN
+    # scale (90k anchors x batch 16) the gather measures 7.5 ms/step on v5e
+    # while the [A, G] compare + [A, G] @ [G, 4] matmul is ~free
+    # (scripts/profile_anchor_target.py); semantics identical — the one-hot
+    # is built from the final argmax_ious, forced-positive reassignments
+    # included
+    onehot = (jnp.arange(gt_boxes.shape[0])[None, :]
+              == argmax_ious[:, None]).astype(gt_boxes.dtype)   # [A, G]
+    loc = bbox2loc(anchors, onehot @ gt_boxes)
     # no valid gt: all-ignore labels, zero loc (reference returns zeros loc,
     # frcnn_training.py:40-41)
     loc = jnp.where(any_gt, loc, 0.0)

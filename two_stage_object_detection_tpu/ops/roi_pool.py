@@ -23,6 +23,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 NEG_INF = -1e30
 
@@ -313,6 +314,101 @@ def _align_weights_local(c_global: jnp.ndarray, origin: jnp.ndarray,
     w = (jax.nn.one_hot(i0, win, dtype=jnp.float32) * (1.0 - f)[..., None]
          + jax.nn.one_hot(i1, win, dtype=jnp.float32) * f[..., None])
     return w.reshape(-1, p, s, win).sum(axis=2) / s      # [R, P, win]
+
+
+def _level_align_weights(rois: jnp.ndarray, sy: float, sx: float, p: int,
+                         s: int, h: int, w: int, aligned: bool):
+    """Dense RoIAlign weight pair for one pyramid level: ``(wy, wx)``.
+
+    Exactly the matrices :func:`roi_align_mm` builds internally for rois
+    pre-scaled by ``(sx, sy, sx, sy)`` — factored out so the hybrid
+    backward (:func:`multilevel_roi_align_hybrid`) reproduces the dense
+    path's gradient bit for bit.
+    """
+    off = 0.5 if aligned else 0.0
+    r4 = (rois.astype(jnp.float32)
+          * jnp.asarray([sx, sy, sx, sy], jnp.float32) - off)
+    roi_w = jnp.maximum(r4[:, 2] - r4[:, 0], 1.0)
+    roi_h = jnp.maximum(r4[:, 3] - r4[:, 1], 1.0)
+    wy = _align_weights(r4[:, 1], roi_h, p, s, h)        # [R, P, H]
+    wx = _align_weights(r4[:, 0], roi_w, p, s, w)        # [R, P, W]
+    return wy, wx
+
+
+def _norm_scales(scales, n_levels: int):
+    """Static per-level ``(sy, sx)`` pairs from scalar-or-pair ``scales``."""
+    out = []
+    for li in range(n_levels):
+        s = scales[li]
+        out.append((float(s), float(s)) if not isinstance(s, (tuple, list))
+                   else (float(s[0]), float(s[1])))
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def multilevel_roi_align_hybrid(pyramid, rois: jnp.ndarray,
+                                levels: jnp.ndarray, scales,
+                                output_size: int = 7, sampling_ratio: int = 2,
+                                window: int = 32, aligned: bool = False):
+    """:func:`multilevel_roi_align` forward with the DENSE matmul backward.
+
+    The train-path trade (measured, scripts/profile_fpn_train.py, v5e
+    batch 16 R=128): the windowed forward is the fast one (each roi reads a
+    [window, window, C] slice of its assigned level, K=window matmuls), but
+    its autodiff backward is a dynamic-slice scatter-add that runs 19 ms
+    SLOWER per step than the dense blend's MXU matmul VJP.  This custom_vjp
+    takes the best half of each: forward = windowed, backward = the dense
+    formulation's gradient
+    ``dF_l = sum_r 1[lvl_r = l] * WY_l[r]^T g[r] WX_l[r]`` — two einsums per
+    level that XLA lowers to MXU matmuls, identical to what autodiff of the
+    dense forward produces.
+
+    Valid because the two forwards are equal wherever the window covers the
+    roi's span (every box of aspect <~5 at its assigned level — the same
+    documented approximation the windowed forward already makes; degenerate
+    boxes get the dense gradient of their edge-clamped value).
+
+    Gradients flow to ``pyramid`` only: ``rois``/``levels`` are
+    non-differentiable samples in this framework (proposals are generated
+    under ``stop_gradient``, nets/detector.py), so their cotangents are
+    zero — matching torchvision RoIAlign, which also provides no box
+    gradient.
+    """
+    return multilevel_roi_align(pyramid, rois, levels, scales, output_size,
+                                sampling_ratio, window, aligned)
+
+
+def _ml_hybrid_fwd(pyramid, rois, levels, scales, output_size, sampling_ratio,
+                   window, aligned):
+    out = multilevel_roi_align(pyramid, rois, levels, scales, output_size,
+                               sampling_ratio, window, aligned)
+    return out, (pyramid, rois, levels)
+
+
+def _ml_hybrid_bwd(scales, output_size, sampling_ratio, window, aligned,
+                   res, g):
+    pyramid, rois, levels = res
+    p, s = output_size, sampling_ratio
+    sc = _norm_scales(scales, len(pyramid))
+    d_pyr = []
+    for li, f in enumerate(pyramid):
+        h, w, _ = f.shape
+        dt = f.dtype
+        sy, sx = sc[li]
+        wy, wx = _level_align_weights(rois, sy, sx, p, s, h, w, aligned)
+        gm = jnp.where((levels == li)[:, None, None, None], g, 0).astype(dt)
+        # dF = WY^T @ (g contracted with WX): both on the MXU
+        t = jnp.einsum("rqw,rpqc->rpwc", wx.astype(dt), gm)   # [R,P,W,C]
+        df = jnp.einsum("rph,rpwc->hwc", wy.astype(dt), t)    # [H,W,C]
+        d_pyr.append(df.astype(f.dtype))
+    d_pyr = (tuple(d_pyr) if isinstance(pyramid, tuple) else
+             jax.tree_util.tree_unflatten(
+                 jax.tree_util.tree_structure(pyramid), d_pyr))
+    d_levels = np.zeros(levels.shape, dtype=jax.dtypes.float0)
+    return d_pyr, jnp.zeros_like(rois), d_levels
+
+
+multilevel_roi_align_hybrid.defvjp(_ml_hybrid_fwd, _ml_hybrid_bwd)
 
 
 def multilevel_roi_align(pyramid, rois: jnp.ndarray, levels: jnp.ndarray,
