@@ -96,6 +96,63 @@ def main(n_anchors=90090, batch=16, g=16):
         return jnp.sum((m & (r < 128)).astype(jnp.float32))
     scan_time(rank_ascan, mask, label="rank: lax.associative_scan")
 
+    # ---- losses with the cotangent flowing through the FPN head's
+    # reshape+concat from conv-layout tensors (the composed-train shape) ----
+    if n_anchors == 90090:
+        level_hw = [(150, 150), (75, 75), (38, 38), (19, 19), (10, 10)]
+        conv_locs = [jnp.asarray(rng.randn(batch, h, w, 12), jnp.float32)
+                     for h, w in level_hw]
+        conv_scores = [jnp.asarray(rng.randn(batch, h, w, 6), jnp.float32)
+                       for h, w in level_hw]
+        lv_sizes = [h * w * 3 for h, w in level_hw]
+
+        def losses_via_concat(cl, cs, carry):
+            def loss(cl_, cs_):
+                locs = jnp.concatenate(
+                    [c.reshape(batch, -1, 4) for c in cl_], axis=1) + carry
+                scores = jnp.concatenate(
+                    [c.reshape(batch, -1, 2) for c in cs_], axis=1)
+                ll = jnp.mean(jax.vmap(
+                    lambda p, gg, la: fast_rcnn_loc_loss(p, gg, la, 3.0))(
+                        locs, loc_t, lab_t))
+                ce = jnp.mean(jax.vmap(softmax_cross_entropy_with_ignore)(
+                    scores, lab_t))
+                return ll + ce
+            val, grads = jax.value_and_grad(loss, argnums=(0, 1))(cl, cs)
+            return val + sum(jnp.sum(g) for g in grads[0] + grads[1])
+        scan_time(losses_via_concat, conv_locs, conv_scores,
+                  label="losses+grad THROUGH reshape/concat")
+
+        def losses_per_level(cl, cs, carry):
+            def loss(cl_, cs_):
+                num_l = den_l = num_c = den_c = 0.0
+                off = 0
+                for li, (c_loc, c_sc) in enumerate(zip(cl_, cs_)):
+                    a_l = lv_sizes[li]
+                    lab = lax.dynamic_slice_in_dim(lab_t, off, a_l, 1)
+                    tgt = lax.dynamic_slice_in_dim(loc_t, off, a_l, 1)
+                    off += a_l
+                    p_loc = c_loc.reshape(batch, a_l, 4) + carry
+                    pos = (lab > 0).astype(jnp.float32)[..., None]
+                    diff = jnp.abs(tgt - p_loc)
+                    sl1 = jnp.where(diff < 1.0 / 9.0, 4.5 * diff ** 2,
+                                    diff - 0.5 / 9.0)
+                    num_l += jnp.sum(sl1 * pos)
+                    den_l += jnp.sum(pos) * 4
+                    logits = c_sc.reshape(batch, a_l, 2)
+                    valid = lab != -1
+                    lp = logits - jnp.max(logits, -1, keepdims=True)
+                    lp = lp - jnp.log(jnp.sum(jnp.exp(lp), -1, keepdims=True))
+                    nll = jnp.where(lab == 1, -lp[..., 1], -lp[..., 0])
+                    num_c += jnp.sum(nll * valid)
+                    den_c += jnp.sum(valid)
+                return (num_l / jnp.maximum(den_l, 1.0)
+                        + num_c / jnp.maximum(den_c, 1.0))
+            val, grads = jax.value_and_grad(loss, argnums=(0, 1))(cl, cs)
+            return val + sum(jnp.sum(g) for g in grads[0] + grads[1])
+        scan_time(losses_per_level, conv_locs, conv_scores,
+                  label="losses+grad per-level (no concat)")
+
     # full iou+argmax block without the subsample ranking
     def assign_only(b, v, carry):
         from two_stage_object_detection_tpu.ops.geometry import bbox_iou, bbox2loc
