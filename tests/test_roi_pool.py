@@ -252,6 +252,40 @@ class TestMultilevelWindowed:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-5)
 
+    def test_window_coverage_predicts_equality(self, rng):
+        """window_coverage: True exactly marks rois where windowed == dense.
+
+        Mixes normal boxes with extreme-aspect ones (>5:1) whose span at the
+        assigned level exceeds the 32-cell window, so both branches of the
+        predicate are exercised.
+        """
+        rp, assign, pyr, scales = self._setup(rng)
+        sides = np.concatenate([rng.choice([20, 60, 150], size=16),
+                                np.full(8, 80.0)])
+        ar = np.concatenate([rng.uniform(0.5, 2.0, size=16),
+                             rng.uniform(8.0, 20.0, size=8)])
+        bw, bh = sides * np.sqrt(ar), sides / np.sqrt(ar)
+        x1 = rng.rand(24) * 100
+        y1 = rng.rand(24) * 100
+        rois = jnp.asarray(np.stack([x1, y1, x1 + bw, y1 + bh], -1),
+                           jnp.float32)
+        levels = assign(rois, 2, 5) - 2
+        sizes = [(f.shape[0], f.shape[1]) for f in pyr]
+        cov = np.asarray(rp.window_coverage(rois, levels, sizes, scales,
+                                            window=32))
+        assert cov.any() and not cov.all()     # both branches exercised
+
+        got = np.asarray(rp.multilevel_roi_align(pyr, rois, levels, scales,
+                                                 7, window=32))
+        oh = jax.nn.one_hot(levels, 4)
+        want = np.asarray(sum(
+            rp.roi_align_mm(pyr[li],
+                            rois * jnp.array([scales[li][1], scales[li][0]]
+                                             * 2), 7, 1.0)
+            * oh[:, li][:, None, None, None]
+            for li in range(4)))
+        np.testing.assert_allclose(got[cov], want[cov], rtol=1e-4, atol=1e-5)
+
     def test_grad_flows_to_pyramid(self, rng):
         rp, assign, pyr, scales = self._setup(rng)
         rois = jnp.asarray([[8.0, 8.0, 70.0, 70.0],

@@ -44,6 +44,10 @@ def build_backbone(name: str, dtype=jnp.float32, remat: bool = False,
                                        strided=strided, pyramid=pyramid)
         return mod, mod.out_channels
     table = {
+        # resnet10: one basic block per stage — not in the reference table
+        # (models/resnet.py:154-172); exists so dryruns/tests can compile a
+        # real 4-stage pyramid-capable backbone at minimum graph size
+        "resnet10": dict(block="basic", blocks_num=(1, 1, 1, 1)),
         "resnet34": dict(block="basic", blocks_num=(3, 4, 6, 3)),
         "resnet50": dict(block="bottleneck", blocks_num=(3, 4, 6, 3)),
         "resnet101": dict(block="bottleneck", blocks_num=(3, 4, 23, 3)),

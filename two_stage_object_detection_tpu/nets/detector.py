@@ -210,10 +210,11 @@ class FasterRCNN(nn.Module):
 
         # ---- head ----
         if cfg.fpn:
-            # windowed pooling's backward is a scatter-add (measured 19 ms
-            # SLOWER per train step than dense's MXU matmul VJP at R=128);
-            # the dense blend stays the training path, windowed serves
-            # the no-grad predict path (numerics agree where windows cover)
+            # use_window=False routes to the HYBRID path (roi_pool.py:
+            # multilevel_roi_align_hybrid): windowed atlas forward, dense
+            # MXU-matmul VJP via custom_vjp — the windowed autodiff backward
+            # is a scatter-add measured 19 ms/step slower at R=128.
+            # Config.fpn_roi_window=0 is the exact-dense escape hatch.
             roi_cls_locs, roi_scores = self.roi_head(
                 feats, sample_roi, img_size, use_window=False)
         else:

@@ -102,7 +102,12 @@ def anchor_target(anchors: jnp.ndarray, gt_boxes: jnp.ndarray,
     # included
     onehot = (jnp.arange(gt_boxes.shape[0])[None, :]
               == argmax_ious[:, None]).astype(gt_boxes.dtype)   # [A, G]
-    loc = bbox2loc(anchors, onehot @ gt_boxes)
+    # precision=HIGHEST: at default precision the TPU MXU runs this in bf16,
+    # rounding gt coords (~hundreds of px) by 1-2 px BEFORE bbox2loc, whose
+    # center-diff/log terms amplify that into noisy regression targets.  The
+    # [A,G]@[G,4] contraction is tiny, so fp32 costs nothing.
+    loc = bbox2loc(anchors, jnp.einsum("ag,gc->ac", onehot, gt_boxes,
+                                       precision=jax.lax.Precision.HIGHEST))
     # no valid gt: all-ignore labels, zero loc (reference returns zeros loc,
     # frcnn_training.py:40-41)
     loc = jnp.where(any_gt, loc, 0.0)

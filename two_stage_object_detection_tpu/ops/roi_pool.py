@@ -499,3 +499,48 @@ def multilevel_roi_align(pyramid, rois: jnp.ndarray, levels: jnp.ndarray,
     # stage 1: contract the window rows; stage 2: the window columns
     s1 = jnp.einsum("rph,rhwc->rpwc", wy.astype(dt), windows)
     return jnp.einsum("rqw,rpwc->rpqc", wx.astype(dt), s1)
+
+
+def window_coverage(rois: jnp.ndarray, levels: jnp.ndarray, sizes,
+                    scales, output_size: int = 7, sampling_ratio: int = 2,
+                    window: int = 32, aligned: bool = False) -> jnp.ndarray:
+    """Per-roi: does the windowed forward cover ALL of the roi's taps?
+
+    Mirrors :func:`multilevel_roi_align` geometry exactly (same scaling,
+    clamping, and origin clip) and returns a bool ``[R]`` — True where the
+    ``[window, window]`` slice contains every bilinear neighbour, i.e. the
+    windowed result equals the dense blend.  False = the documented
+    edge-clamp approximation engaged (aspect >~5 at the assigned level).
+    Used by scripts/ablate_real_fixture.py to bound how often real RPN
+    proposals fall outside the window (round-4 verdict weak #6).
+
+    Args:
+      sizes: ``[L, 2]`` per-level (H, W) feature shapes.
+      scales: per-level image->feature scale, scalars or (sy, sx) pairs —
+        same convention as :func:`multilevel_roi_align`.
+    """
+    p, s, win = output_size, sampling_ratio, window
+    sizes = jnp.asarray(sizes, jnp.float32)
+    sc = jnp.asarray(scales, jnp.float32)
+    if sc.ndim == 1:
+        sc = jnp.stack([sc, sc], axis=-1)
+    off05 = 0.5 if aligned else 0.0
+    sy, sx = sc[levels, 0], sc[levels, 1]
+    r4 = (rois.astype(jnp.float32)
+          * jnp.stack([sx, sy, sx, sy], axis=-1) - off05)
+    h_l, w_l = sizes[levels, 0], sizes[levels, 1]
+    block_h = jnp.maximum(h_l, float(win))
+    block_w = jnp.maximum(w_l, float(win))     # w_pad >= every level width
+    roi_w = jnp.maximum(r4[:, 2] - r4[:, 0], 1.0)
+    roi_h = jnp.maximum(r4[:, 3] - r4[:, 1], 1.0)
+    grid_last = (p - 1) + (s - 0.5) / s
+    y0 = jnp.clip(r4[:, 1] + 0.5 / s * (roi_h / p), 0.0, h_l - 1.0)
+    x0 = jnp.clip(r4[:, 0] + 0.5 / s * (roi_w / p), 0.0, w_l - 1.0)
+    y1 = jnp.clip(r4[:, 1] + grid_last * (roi_h / p), 0.0, h_l - 1.0)
+    x1 = jnp.clip(r4[:, 0] + grid_last * (roi_w / p), 0.0, w_l - 1.0)
+    oy = jnp.clip(jnp.floor(y0), 0.0, block_h - win)
+    ox = jnp.clip(jnp.floor(x0), 0.0, block_w - win)
+    # bilinear interp of a sample at c touches rows floor(c) and floor(c)+1
+    cover_y = jnp.floor(y1) + 1 <= oy + (win - 1)
+    cover_x = jnp.floor(x1) + 1 <= ox + (win - 1)
+    return cover_y & cover_x

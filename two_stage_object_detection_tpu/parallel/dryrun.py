@@ -27,6 +27,9 @@ def run_dryrun(n_devices: int) -> float:
     (image height over ``model``) used for small-batch / large-image work —
     train step *and* true predict under each.
     """
+    import os
+    import time
+
     import jax
     import numpy as np
 
@@ -36,6 +39,30 @@ def run_dryrun(n_devices: int) -> float:
     from two_stage_object_detection_tpu.parallel.mesh import (
         make_mesh, place_train_state, replicate, shard_batch,
         shard_batch_spatial)
+    from two_stage_object_detection_tpu.utils import compile_cache
+
+    # Persistent compile cache: the 4 sections compile ~6 train/predict
+    # programs; on a repeat driver run every one loads from disk instead.
+    # Repo-local path so it survives across rounds of the same checkout.
+    compile_cache.enable(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_dryrun_cache"))
+
+    # Per-section wall-time budget guard (round-4 regression: the dryrun
+    # grew past the driver timeout with no visibility).  Log every section's
+    # seconds; warn loudly if one exceeds its budget so the next capability
+    # addition can't silently push the artifact past the driver timeout.
+    t_start = time.monotonic()
+    t_last = [t_start]
+
+    def section_done(name: str, budget_s: float = 300.0) -> None:
+        now = time.monotonic()
+        dt = now - t_last[0]
+        t_last[0] = now
+        flag = "" if dt <= budget_s else (
+            f"  ** OVER {budget_s:.0f}s BUDGET — shrink this section **")
+        print(f"[dryrun timing] {name}: {dt:.1f}s "
+              f"(total {now - t_start:.1f}s){flag}", flush=True)
 
     n_model = 2 if n_devices % 2 == 0 and n_devices > 1 else 1
     n_data = n_devices // n_model
@@ -70,6 +97,7 @@ def run_dryrun(n_devices: int) -> float:
     assert np.isfinite(total), total
     print(f"dryrun dp+tp: mesh={dict(mesh.shape)} loss={total:.4f} OK",
           flush=True)
+    section_done("dp+tp")
 
     # ---- HBM-resident dataset sharded over 'data' + in-scan gathers ----
     # (data/device_cache.py + nets/trainer.py:train_macro_step_resident:
@@ -99,6 +127,7 @@ def run_dryrun(n_devices: int) -> float:
     assert np.isfinite(totals).all(), totals
     print(f"dryrun resident: mesh={dict(mesh.shape)} "
           f"losses={totals.round(4).tolist()} OK", flush=True)
+    section_done("resident")
 
     # ---- data+spatial mesh: image height over 'model' ----
     # (64-px images, stride-16 backbone: keep <=4 row shards so the 4-row
@@ -119,10 +148,14 @@ def run_dryrun(n_devices: int) -> float:
     assert np.isfinite(total_s), total_s
     print(f"dryrun spatial: mesh={dict(smesh.shape)} loss={total_s:.4f} "
           f"predict_dets={n_det} OK", flush=True)
+    section_done("spatial")
 
     # ---- FPN variant on the dp+tp mesh (round-4 capability) ----
+    # resnet10 (1 basic block/stage): smallest real 4-stage pyramid — the
+    # resnet34 graph pushed the round-4 dryrun past the driver budget on a
+    # 1-core host (MULTICHIP_r04.json rc=124)
     cfg_f = cfg.replace(fpn=True, fpn_channels=16, fpn_fc_dim=32,
-                        backbone="resnet34")
+                        backbone="resnet10")
     _, state_f = create_train_state(cfg_f, jax.random.PRNGKey(0),
                                     init_image_size=(32, 32))
     state_f = place_train_state(state_f, mesh)
@@ -133,6 +166,7 @@ def run_dryrun(n_devices: int) -> float:
     assert np.isfinite(total_f), total_f
     print(f"dryrun fpn: mesh={dict(mesh.shape)} loss={total_f:.4f} OK",
           flush=True)
+    section_done("fpn")
 
     print(f"dryrun_multichip({n_devices}): mesh={dict(mesh.shape)} "
           f"loss={total:.4f} OK; spatial mesh={dict(smesh.shape)} "

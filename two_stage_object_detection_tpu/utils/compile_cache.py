@@ -15,9 +15,9 @@ cost a dispatch roundtrip each).  Wired into the drivers via
 CLI ``--compile-cache`` flag; the ``JAX_COMPILATION_CACHE_DIR`` env var
 JAX reads natively keeps working too.
 
-Measured (v5e, hardnet39s serving Predictor with buckets (1, 8, 16)):
-see BENCH_DETAILS.json ``coldstart`` — the warm-cache process start
-recompiles nothing and loads each bucket from disk.
+Measured: BENCH_DETAILS.json ``coldstart`` records cold vs warm-cache
+process start for the jitted predict path (scripts/measure_coldstart.py)
+— the warm start recompiles nothing and loads the program from disk.
 """
 
 from __future__ import annotations
