@@ -669,13 +669,22 @@ def main():
     if "fpn" in sel:
         # FPN variant (Config.fpn=True): multi-level inference + full train
         # step; BENCH_BACKBONE picks the pyramid trunk (default resnet50,
-        # the classic FPN pairing)
+        # the classic FPN pairing); BENCH_BATCH scales the train batch
+        # (rows land under fpn_train_{fb}_b{N}; BENCH_REMAT=1 adds backbone
+        # remat for the HBM-ceiling scan)
         fb = os.environ.get("BENCH_BACKBONE", "resnet50")
+        fbatch = int(os.environ.get("BENCH_BATCH", 16))
+        remat = os.environ.get("BENCH_REMAT", "") == "1"
         fcfg = cfg.replace(fpn=True, backbone=fb)
-        results[f"fpn_infer_{fb}"] = bench_inference(
-            f"fpn_infer [{fb}]", fcfg, 16)
-        results[f"fpn_train_{fb}"] = bench_train(batch=16, backbone=fb,
-                                                 fpn=True)
+        if fbatch == 16 and not remat:
+            results[f"fpn_infer_{fb}"] = bench_inference(
+                f"fpn_infer [{fb}]", fcfg, 16)
+        tkey = (f"fpn_train_{fb}" if fbatch == 16 else
+                f"fpn_train_{fb}_b{fbatch}")
+        if remat:
+            tkey += "_remat"
+        results[tkey] = bench_train(batch=fbatch, backbone=fb, fpn=True,
+                                    remat_backbone=remat)
     if "backbones" in sel:
         results["backbones"] = bench_backbones()
     if "train_backbones" in sel:

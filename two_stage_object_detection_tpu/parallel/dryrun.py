@@ -68,8 +68,12 @@ def run_dryrun(n_devices: int) -> float:
     n_data = n_devices // n_model
     mesh = make_mesh(n_data=n_data, n_model=n_model)
 
+    # batch = 1 image/chip: execution of these graphs on the N-virtual-
+    # device 1-core CI host is the dryrun's real cost (measured ~60-70% of
+    # section wall-time; compiles are persistent-cached) — validation needs
+    # sharding, not throughput
     cfg = Config(
-        input_size=(64, 64), num_classes=3, batch_size=max(2 * n_data, 2),
+        input_size=(64, 64), num_classes=3, batch_size=max(n_data, 2),
         max_gt_boxes=4, n_train_pre_nms=64, n_train_post_nms=16,
         n_test_pre_nms=32, n_test_post_nms=8, roi_n_sample=8, rpn_n_sample=16,
         grad_accum_steps=1, compute_dtype="float32",
@@ -119,7 +123,11 @@ def run_dryrun(n_devices: int) -> float:
         "valid": jax.device_put(np.tile(batch["valid"][:1], (n_imgs, 1)),
                                 dsh),
     }
-    idx = jnp.arange(n_imgs, dtype=jnp.int32).reshape(2, cfg.batch_size)
+    # ONE macro step (scan length 1): the gather-from-sharded-dataset and
+    # collective lowering are identical at any scan length, and each extra
+    # step costs ~85 s of oversubscribed execution on the CI host
+    idx = jnp.arange(cfg.batch_size, dtype=jnp.int32).reshape(1,
+                                                             cfg.batch_size)
     state, totals = train_macro_step_resident(
         state, data, idx, jax.random.PRNGKey(2), device_augment=True,
         batch_sharding=dsh)
