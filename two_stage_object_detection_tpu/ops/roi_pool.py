@@ -411,6 +411,79 @@ def _ml_hybrid_bwd(scales, output_size, sampling_ratio, window, aligned,
 multilevel_roi_align_hybrid.defvjp(_ml_hybrid_fwd, _ml_hybrid_bwd)
 
 
+def _windowed_prologue(pyramid, rois: jnp.ndarray, levels: jnp.ndarray,
+                       scales, p: int, s: int, win: int, aligned: bool,
+                       win_x: int = None, x_quant: int = 1):
+    """Shared XLA prologue of the windowed multi-level RoIAlign.
+
+    Builds the level atlas and each roi's window origin + interpolation
+    weights; consumed by :func:`multilevel_roi_align` (dynamic-slice +
+    einsum form) and by the Pallas kernel
+    (``ops/pallas_windowed_align.py``), which replaces the window
+    materialisation with in-kernel DMA.
+
+    ``x_quant``/``win_x``: Mosaic DMA slices must start at a multiple of
+    the 8-row sublane tile in the atlas' W dimension, so the Pallas caller
+    passes ``x_quant=8`` with an 8-wider ``win_x`` — origins round DOWN to
+    the tile and the wider window keeps covering ``[ox, ox+win)``; weights
+    are built against the quantized origin, so results are identical.
+
+    Returns ``(atlas [sum_hb, w_pad(+win_x-win), C], starts_y [R], ox [R],
+    wy [R, P, win], wx [R, P, win_x])``.
+    """
+    win_x = win if win_x is None else win_x
+    # --- level atlas: blocks (padded to >= win per axis) stacked on rows ---
+    w_pad = max(max(int(f.shape[1]) for f in pyramid), win)
+    w_cols = w_pad + (win_x - win)        # room for quantized wide windows
+    blocks, row_off, block_h = [], [], []
+    off = 0
+    for f in pyramid:
+        h_l, w_l = int(f.shape[0]), int(f.shape[1])
+        hb = max(h_l, win)
+        blocks.append(jnp.pad(f, ((0, hb - h_l), (0, w_cols - w_l), (0, 0))))
+        row_off.append(off)
+        block_h.append(hb)
+        off += hb
+    atlas = jnp.concatenate(blocks, axis=0)              # [sum_hb, w_cols, C]
+
+    sizes = jnp.asarray([[f.shape[0], f.shape[1]] for f in pyramid],
+                        jnp.float32)                     # [L, 2] (H, W)
+    sc = jnp.asarray(scales, jnp.float32)
+    if sc.ndim == 1:                                     # scalar = 1/stride
+        sc = jnp.stack([sc, sc], axis=-1)                # [L, 2] (sy, sx)
+    row_off_t = jnp.asarray(row_off, jnp.int32)
+    block_h_t = jnp.asarray(block_h, jnp.int32)
+
+    off05 = 0.5 if aligned else 0.0
+    sy = sc[levels, 0]
+    sx = sc[levels, 1]                                   # [R]
+    r4 = (rois.astype(jnp.float32)
+          * jnp.stack([sx, sy, sx, sy], axis=-1) - off05)
+    h_l = sizes[levels, 0]
+    w_l = sizes[levels, 1]
+    roi_w = jnp.maximum(r4[:, 2] - r4[:, 0], 1.0)
+    roi_h = jnp.maximum(r4[:, 3] - r4[:, 1], 1.0)
+
+    grid = (jnp.arange(p)[:, None]
+            + (jnp.arange(s)[None, :] + 0.5) / s).reshape(-1)    # [P*S]
+    cy = jnp.clip(r4[:, 1:2] + grid[None, :] * (roi_h / p)[:, None],
+                  0.0, (h_l - 1.0)[:, None])             # [R, P*S]
+    cx = jnp.clip(r4[:, 0:1] + grid[None, :] * (roi_w / p)[:, None],
+                  0.0, (w_l - 1.0)[:, None])
+
+    # window origins: cover from floor(first sample); clamp into the block
+    oy = jnp.clip(jnp.floor(cy[:, 0]).astype(jnp.int32), 0,
+                  block_h_t[levels] - win)               # [R] block-local
+    ox = jnp.clip(jnp.floor(cx[:, 0]).astype(jnp.int32), 0, w_pad - win)
+    if x_quant > 1:
+        ox = (ox // x_quant) * x_quant      # still covers [ox, ox+win)
+
+    wy = _align_weights_local(cy, oy, p, s, win)         # [R, P, win]
+    wx = _align_weights_local(cx, ox, p, s, win_x)       # [R, P, win_x]
+    starts_y = row_off_t[levels] + oy                    # [R] atlas rows
+    return atlas, starts_y, ox, wy, wx
+
+
 def multilevel_roi_align(pyramid, rois: jnp.ndarray, levels: jnp.ndarray,
                          scales, output_size: int = 7,
                          sampling_ratio: int = 2, window: int = 32,
@@ -445,53 +518,8 @@ def multilevel_roi_align(pyramid, rois: jnp.ndarray, levels: jnp.ndarray,
     c_feat = pyramid[0].shape[-1]
     dt = pyramid[0].dtype
 
-    # --- level atlas: blocks (padded to >= win per axis) stacked on rows ---
-    w_pad = max(max(int(f.shape[1]) for f in pyramid), win)
-    blocks, row_off, block_h = [], [], []
-    off = 0
-    for f in pyramid:
-        h_l, w_l = int(f.shape[0]), int(f.shape[1])
-        hb = max(h_l, win)
-        blocks.append(jnp.pad(f, ((0, hb - h_l), (0, w_pad - w_l), (0, 0))))
-        row_off.append(off)
-        block_h.append(hb)
-        off += hb
-    atlas = jnp.concatenate(blocks, axis=0)              # [sum_hb, w_pad, C]
-
-    sizes = jnp.asarray([[f.shape[0], f.shape[1]] for f in pyramid],
-                        jnp.float32)                     # [L, 2] (H, W)
-    sc = jnp.asarray(scales, jnp.float32)
-    if sc.ndim == 1:                                     # scalar = 1/stride
-        sc = jnp.stack([sc, sc], axis=-1)                # [L, 2] (sy, sx)
-    row_off_t = jnp.asarray(row_off, jnp.int32)
-    block_h_t = jnp.asarray(block_h, jnp.int32)
-
-    off05 = 0.5 if aligned else 0.0
-    sy = sc[levels, 0]
-    sx = sc[levels, 1]                                   # [R]
-    r4 = (rois.astype(jnp.float32)
-          * jnp.stack([sx, sy, sx, sy], axis=-1) - off05)
-    h_l = sizes[levels, 0]
-    w_l = sizes[levels, 1]
-    roi_w = jnp.maximum(r4[:, 2] - r4[:, 0], 1.0)
-    roi_h = jnp.maximum(r4[:, 3] - r4[:, 1], 1.0)
-
-    grid = (jnp.arange(p)[:, None]
-            + (jnp.arange(s)[None, :] + 0.5) / s).reshape(-1)    # [P*S]
-    cy = jnp.clip(r4[:, 1:2] + grid[None, :] * (roi_h / p)[:, None],
-                  0.0, (h_l - 1.0)[:, None])             # [R, P*S]
-    cx = jnp.clip(r4[:, 0:1] + grid[None, :] * (roi_w / p)[:, None],
-                  0.0, (w_l - 1.0)[:, None])
-
-    # window origins: cover from floor(first sample); clamp into the block
-    oy = jnp.clip(jnp.floor(cy[:, 0]).astype(jnp.int32), 0,
-                  block_h_t[levels] - win)               # [R] block-local
-    ox = jnp.clip(jnp.floor(cx[:, 0]).astype(jnp.int32), 0, w_pad - win)
-
-    wy = _align_weights_local(cy, oy, p, s, win)         # [R, P, win]
-    wx = _align_weights_local(cx, ox, p, s, win)
-
-    starts_y = row_off_t[levels] + oy                    # [R] atlas rows
+    atlas, starts_y, ox, wy, wx = _windowed_prologue(
+        pyramid, rois, levels, scales, p, s, win, aligned)
     windows = jax.vmap(
         lambda y0, x0: jax.lax.dynamic_slice(
             atlas, (y0, x0, 0), (win, win, c_feat)))(starts_y, ox)
