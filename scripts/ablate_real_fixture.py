@@ -53,7 +53,8 @@ def window_coverage_fraction(cfg, state, batches):
     windowed RoIAlign's [window, window] slice (round-4 verdict weak #6:
     bound the edge-clamp approximation on a REAL proposal distribution)."""
     from two_stage_object_detection_tpu.nets.detector import FasterRCNN
-    from two_stage_object_detection_tpu.nets.fpn import fpn_level_assign
+    from two_stage_object_detection_tpu.nets.fpn import (
+        fpn_level_assign, span_aware_levels)
     from two_stage_object_detection_tpu.ops.roi_pool import window_coverage
 
     model = FasterRCNN(cfg)
@@ -68,15 +69,18 @@ def window_coverage_fraction(cfg, state, batches):
                                           train=False)
         levels = jax.vmap(lambda r: fpn_level_assign(
             r, cfg.fpn_min_level, max_level, cfg.fpn_canonical_level,
-            cfg.fpn_canonical_size))(rois)
+            cfg.fpn_canonical_size))(rois) - cfg.fpn_min_level
         sizes = jnp.asarray([[feats[li].shape[1], feats[li].shape[2]]
                              for li in range(n_pool)], jnp.float32)
         scales = jnp.asarray(
             [(feats[li].shape[1] / img_size[0],
               feats[li].shape[2] / img_size[1]) for li in range(n_pool)],
             jnp.float32)
+        if cfg.fpn_span_aware:          # mirror the head's assignment
+            levels = jax.vmap(lambda r, l: span_aware_levels(
+                r, l, scales, float(cfg.fpn_roi_window - 2)))(rois, levels)
         cov = jax.vmap(lambda r, l: window_coverage(
-            r, l - cfg.fpn_min_level, sizes, scales,
+            r, l, sizes, scales,
             window=cfg.fpn_roi_window))(rois, levels)
         return cov, roi_valid
 
@@ -156,10 +160,16 @@ def main(steps=400, backbone="resnet50"):
         "note": "train==eval images: overfit-and-verify through the real "
                 "C++ JPEG decode + augment + true-predict chain",
     }}
+    out_path = os.path.join(ROOT, "ABLATE_REAL.json")
+    if os.path.exists(out_path):        # resume: keep finished variants
+        results.update(json.load(open(out_path)))
     for name, cfg in variants.items():
+        if name in results:
+            print(f"=== {name}: already recorded, skipping ===", flush=True)
+            continue
         results[name] = run_variant(name, cfg, steps)
-    with open(os.path.join(ROOT, "ABLATE_REAL.json"), "w") as f:
-        json.dump(results, f, indent=2)
+        with open(out_path, "w") as f:  # write-per-variant: crash-safe
+            json.dump(results, f, indent=2)
     print(json.dumps(results))
 
 

@@ -179,3 +179,68 @@ def test_fpn_head_windowed_matches_dense(rng):
         np.testing.assert_allclose(np.asarray(a, dtype=np.float32),
                                    np.asarray(b, dtype=np.float32),
                                    rtol=1e-3, atol=1e-3)
+
+
+class TestSpanAwareLevels:
+    """span_aware_levels: window-overflowing rois bump to a coarser level."""
+
+    SCALES = tuple((1.0 / 2 ** (l + 2),) * 2 for l in range(4))  # P2..P5
+
+    def test_fitting_roi_keeps_eq1_level(self):
+        from two_stage_object_detection_tpu.nets.fpn import (
+            fpn_level_assign, span_aware_levels)
+        # 224x224 box: eq-1 level 4 (stride 16), span 14 cells < 30
+        rois = jnp.array([[0.0, 0.0, 224.0, 224.0]])
+        lv = fpn_level_assign(rois, 2, 5) - 2
+        out = span_aware_levels(rois, lv, self.SCALES, 30.0)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(lv))
+
+    def test_overflowing_roi_bumps_up(self):
+        from two_stage_object_detection_tpu.nets.fpn import (
+            fpn_level_assign, span_aware_levels)
+        # 600x270: sqrt-area 402 -> eq-1 level 4 (stride 16), y-span 37.5
+        # cells > 30 -> must move to level 5 (stride 32, span 18.75)
+        rois = jnp.array([[0.0, 0.0, 270.0, 600.0]])
+        lv = fpn_level_assign(rois, 2, 5) - 2
+        assert int(lv[0]) == 2                        # P4
+        out = span_aware_levels(rois, lv, self.SCALES, 30.0)
+        assert int(out[0]) == 3                       # P5
+
+    def test_never_decreases_and_caps_at_coarsest(self):
+        from two_stage_object_detection_tpu.nets.fpn import span_aware_levels
+        rng = np.random.RandomState(0)
+        x1 = rng.rand(64) * 300
+        y1 = rng.rand(64) * 300
+        w = rng.rand(64) * 580 + 8
+        h = rng.rand(64) * 580 + 8
+        rois = jnp.asarray(np.stack([x1, y1, x1 + w, y1 + h], -1),
+                           jnp.float32)
+        lv = jnp.asarray(rng.randint(0, 4, 64), jnp.int32)
+        out = span_aware_levels(rois, lv, self.SCALES, 30.0)
+        assert (np.asarray(out) >= np.asarray(lv)).all()
+        assert (np.asarray(out) <= 3).all()
+
+    def test_adjusted_levels_are_window_covered(self, rng):
+        """After span-aware assignment every roi on a 600-px image is fully
+        covered by the 32-cell window (600 / 32 = 18.75 cells at P5)."""
+        from two_stage_object_detection_tpu.nets.fpn import (
+            fpn_level_assign, span_aware_levels)
+        from two_stage_object_detection_tpu.ops.roi_pool import (
+            window_coverage)
+        sizes = [(150, 150), (75, 75), (38, 38), (19, 19)]
+        scales = tuple((h / 600.0, w / 600.0) for h, w in sizes)
+        x1 = rng.rand(128) * 400
+        y1 = rng.rand(128) * 400
+        w = rng.rand(128) * 590 + 4
+        h = rng.rand(128) * 590 + 4
+        rois = jnp.asarray(
+            np.stack([x1, y1, np.minimum(x1 + w, 600), np.minimum(y1 + h, 600)],
+                     -1), jnp.float32)
+        lv = fpn_level_assign(rois, 2, 5) - 2
+        adj = span_aware_levels(rois, lv, scales, 30.0)
+        cov = window_coverage(rois, adj, sizes, scales, window=32)
+        assert np.asarray(cov).all()
+        # and the plain eq-1 assignment does NOT cover everything, so the
+        # adjustment is doing real work
+        cov0 = window_coverage(rois, lv, sizes, scales, window=32)
+        assert not np.asarray(cov0).all()

@@ -118,8 +118,14 @@ class Config:
     fpn_fc_dim: int = 1024            # box-head MLP width
     # multi-level RoIAlign mode: each roi pools a [window, window] slice of
     # its assigned level (1.7x the dense 4-level blend at fpn_infer scale;
-    # exact for boxes of aspect <~5, edge-clamped beyond).  0 = dense.
+    # a Pallas DMA+matmul kernel serves the predict path on TPU).  0 = dense.
     fpn_roi_window: int = 32
+    # span-aware level assignment: rois whose long side overflows the
+    # window at their eq.-1 level (37% of real test-time proposals,
+    # ABLATE_REAL.json) pool one level coarser instead of edge-clamping,
+    # so windowed pooling is exact for every roi on images <= window *
+    # stride_max px.  Off reproduces the plain eq.-1 assignment.
+    fpn_span_aware: bool = True
 
     # losses (reference nets/frcnn_training.py:198-199, train/train.py:86-92)
     rpn_sigma: float = 1.0

@@ -61,7 +61,8 @@ class FasterRCNN(nn.Module):
                 canonical_level=cfg.fpn_canonical_level,
                 canonical_size=cfg.fpn_canonical_size,
                 fc_dim=cfg.fpn_fc_dim, window=cfg.fpn_roi_window,
-                pallas=cfg.pallas, dtype=dtype)
+                pallas=cfg.pallas, span_aware=cfg.fpn_span_aware,
+                dtype=dtype)
             self.anchors = make_fpn_anchors(cfg)
         else:
             self.rpn_head = RPNHead(n_anchors=cfg.n_anchors_per_cell,

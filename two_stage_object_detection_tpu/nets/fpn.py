@@ -124,6 +124,45 @@ def fpn_level_assign(rois: jnp.ndarray, min_level: int, max_level: int,
     return jnp.clip(k, min_level, max_level).astype(jnp.int32)
 
 
+def span_aware_levels(rois: jnp.ndarray, levels: jnp.ndarray, scales,
+                      fit_cells: float) -> jnp.ndarray:
+    """Bump rois whose span overflows the pooling window to a coarser level.
+
+    The eq.-1 assignment bounds a roi's SQRT-AREA at its level to 7-28
+    cells, but the long side is ``sqrt(area) * sqrt(aspect)`` — boxes near
+    the top of their level's size band overflow a 32-cell window at aspect
+    > ~1.2 (measured on the real fixture: 37% of test-time proposals,
+    scripts/ablate_real_fixture.py round 5).  Windowed pooling would
+    edge-clamp those rois (crop the pooled region); pooling one level
+    coarser instead keeps the FULL roi in view at halved resolution — the
+    same trade eq. 1 itself makes, applied to the long side.
+
+    Args:
+      rois: ``[R, 4]`` xyxy image coords.
+      levels: ``[R]`` eq.-1 levels, already offset to index ``scales``.
+      scales: per-RoI-level image->feature ``(sy, sx)`` pairs or scalars.
+      fit_cells: max span (in cells at the pooled level) the window covers
+        exactly (``window - 2``).
+
+    Returns adjusted ``[R]`` int32 levels (>= input, <= last level).  A roi
+    that overflows even the coarsest level keeps it (residual edge-clamp —
+    impossible for images <= ``fit_cells * stride_max`` px).
+    """
+    sc = jnp.asarray(scales, jnp.float32)
+    if sc.ndim == 1:
+        sc = jnp.stack([sc, sc], axis=-1)                  # [L, 2] (sy, sx)
+    n_levels = sc.shape[0]
+    w = rois[:, 2] - rois[:, 0]
+    h = rois[:, 3] - rois[:, 1]
+    span = jnp.maximum(h[:, None] * sc[None, :, 0],
+                       w[:, None] * sc[None, :, 1])        # [R, L]
+    lvl_idx = jnp.arange(n_levels)[None, :]
+    ok = (span <= fit_cells) & (lvl_idx >= levels[:, None])
+    first_fit = jnp.min(jnp.where(ok, lvl_idx, n_levels), axis=-1)
+    return jnp.where(first_fit < n_levels, first_fit,
+                     n_levels - 1).astype(jnp.int32)
+
+
 class FPNRoIHead(nn.Module):
     """Multi-level RoIAlign + 2-FC head (FPN-standard box head).
 
@@ -147,6 +186,7 @@ class FPNRoIHead(nn.Module):
     fc_dim: int = 1024
     window: int = 32                  # 0 = dense 4-level pooling
     pallas: str = "auto"              # windowed-align kernel: auto|on|off
+    span_aware: bool = True           # bump window-overflowing rois coarser
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -162,9 +202,7 @@ class FPNRoIHead(nn.Module):
             # windowed single-level pooling: each roi reads one static
             # [window, window, C] slice of its assigned level — measured
             # 26.7 vs 46.6 ms at fpn_infer scale vs the dense blend
-            # (scripts/ablate_fpn_roihead.py); equal wherever the window
-            # covers the roi's span (every box of aspect <~5 at its
-            # assigned level, tests/test_roi_pool.py).  The no-grad predict
+            # (scripts/ablate_fpn_roihead.py).  The no-grad predict
             # path (use_window=True) differentiates nothing; the train path
             # uses the hybrid form — same windowed forward, but the DENSE
             # matmul backward (the windowed autodiff backward is a
@@ -172,6 +210,15 @@ class FPNRoIHead(nn.Module):
             scales = tuple(
                 (pyramid[li].shape[1] / img_h, pyramid[li].shape[2] / img_w)
                 for li in range(self.n_pool_levels))  # same as dense fw/img_w
+            if self.span_aware:
+                # keep every roi FULLY inside its window: overflowing rois
+                # (37% of real test-time proposals at eq.-1 levels) pool one
+                # level coarser instead of edge-clamping — applied in train
+                # AND predict so the head sees consistent features
+                levels = self.min_level + jax.vmap(
+                    lambda r_i, l_i: span_aware_levels(
+                        r_i, l_i - self.min_level, scales,
+                        float(self.window - 2)))(rois, levels)
             c_feat = pyramid[0].shape[-1]
             # Pallas kernel (predict only — it is forward-only by design):
             # in-kernel window DMA + one K=win*win_x MXU matmul per roi,

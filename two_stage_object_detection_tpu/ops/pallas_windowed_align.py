@@ -43,8 +43,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from two_stage_object_detection_tpu.ops.roi_pool import _windowed_prologue
 
-ROI_TILE = 16          # rois per program: bounds VMEM (2 window buffers
-                       # + T output blocks) and amortises grid overhead
+ROI_TILE = 32          # rois per program: bounds VMEM (w_comb block 4 MB +
+                       # 2 window buffers 1.3 MB + outputs 0.8 MB) and
+                       # amortises grid overhead (measured 12.28/12.02/11.86
+                       # ms at tile 8/16/32; 64 exceeds VMEM)
 
 
 def _kernel(meta_ref, w_ref, atlas_ref, out_ref, scratch, sems, *,

@@ -568,7 +568,9 @@ def window_coverage(rois: jnp.ndarray, levels: jnp.ndarray, sizes,
     x1 = jnp.clip(r4[:, 0] + grid_last * (roi_w / p), 0.0, w_l - 1.0)
     oy = jnp.clip(jnp.floor(y0), 0.0, block_h - win)
     ox = jnp.clip(jnp.floor(x0), 0.0, block_w - win)
-    # bilinear interp of a sample at c touches rows floor(c) and floor(c)+1
-    cover_y = jnp.floor(y1) + 1 <= oy + (win - 1)
-    cover_x = jnp.floor(x1) + 1 <= ox + (win - 1)
+    # bilinear interp of a sample at c touches rows floor(c) and ceil(c):
+    # for an integral c (e.g. clipped to the level edge) the +1 neighbour
+    # has zero weight, so ceil — not floor+1 — is the exact requirement
+    cover_y = jnp.ceil(y1) <= oy + (win - 1)
+    cover_x = jnp.ceil(x1) <= ox + (win - 1)
     return cover_y & cover_x
