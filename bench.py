@@ -624,7 +624,10 @@ def main():
     # vs 0.17, ABLATE_REAL.json).  Config() defaults stay reference-parity
     # (hardnet39, recorded under batched16_hardnet39); docs/DESIGN.md
     # "Round 5: flagship promotion" has the full decision record.
-    flagship = cfg.replace(fpn=True, backbone="resnet50")
+    # loc_normalize: training-side box-target whitening — ABLATE_REAL
+    # fpn_locnorm mAP@0.75 1.0 vs 0.75 without; no inference-speed effect
+    flagship = cfg.replace(fpn=True, backbone="resnet50",
+                           loc_normalize=True)
 
     results = {}
     if "batched16" in sel:
