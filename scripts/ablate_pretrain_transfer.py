@@ -77,7 +77,7 @@ def _augment(img, rng):
     return img
 
 
-def pretrain_torch(epochs=6, batch=12, seed=0):
+def pretrain_torch(epochs=16, batch=12, seed=0):
     """Train the reference torch ResNet-34 on fixture crops; return its
     state dict + final train accuracy."""
     import importlib
@@ -125,15 +125,23 @@ def pretrain_torch(epochs=6, batch=12, seed=0):
 
 
 # --------------------------------------------------------------- fine-tune
-def finetune(name, cfg, steps, eval_every, torch_sd=None):
+def finetune(name, cfg, steps, eval_every, torch_sd=None,
+             freeze_backbone=False):
+    """``freeze_backbone=True`` is the discriminating probe: detection on
+    3 heavily-augmented images converges from scratch in <100 steps, so
+    full fine-tuning shows no init advantage (ceiling effect — measured,
+    see ABLATE_TRANSFER.json ``random_init``/``imported_init``).  Freezing
+    the backbone forces the heads to rely on feature QUALITY: pretrained
+    features must beat frozen-random features or the import is worthless."""
     import jax
+    import optax
 
     from two_stage_object_detection_tpu.data.coco import load_coco
     from two_stage_object_detection_tpu.data.pipeline import (
         DetectionDataset, Loader)
     from two_stage_object_detection_tpu.eval.evaluator import evaluate
     from two_stage_object_detection_tpu.nets.trainer import (
-        create_train_state, train_step)
+        TrainState, create_train_state, make_optimizer, train_step)
     from two_stage_object_detection_tpu.utils.torch_import import (
         load_resnet_backbone)
 
@@ -153,6 +161,17 @@ def finetune(name, cfg, steps, eval_every, torch_sd=None):
     if torch_sd is not None:
         state = load_resnet_backbone(torch_sd, state, block="basic",
                                      blocks_num=(3, 4, 6))
+    if freeze_backbone:
+        def label_fn(params):
+            return {k: jax.tree_util.tree_map(
+                lambda _: "frozen" if k == "extractor" else "train", v)
+                for k, v in params.items()}
+        tx = optax.multi_transform(
+            {"train": make_optimizer(cfg, 1), "frozen": optax.set_to_zero()},
+            label_fn)
+        state = TrainState.create(
+            apply_fn=state.apply_fn, params=state.params,
+            batch_stats=state.batch_stats, tx=tx)
 
     curve = []
     t0 = time.time()
@@ -196,19 +215,29 @@ def main(det_steps=300, eval_every=25):
         score_thresh=0.3, predict_nms_iou=0.3, max_detections=16,
         cosine_t_max=det_steps, augment=True,
     )
-    results = {
-        "task": {"pretrain": "reference torch resnet34 classifier on "
-                             "fixture object crops (proxy for ImageNet)",
-                 "pretrain_acc": round(acc, 3),
-                 "pretrain_seconds": round(pre_s, 1),
-                 "detection": "single-scale resnet34 on tests/data/real_coco",
-                 "det_steps": det_steps, "eval_every": eval_every},
-        "random_init": finetune("random_init", cfg, det_steps, eval_every),
-        "imported_init": finetune("imported_init", cfg, det_steps, eval_every,
-                                  torch_sd=torch_sd),
+    out_path = os.path.join(ROOT, "ABLATE_TRANSFER.json")
+    results = {"task": {
+        "pretrain": "reference torch resnet34 classifier on "
+                    "fixture object crops (proxy for ImageNet)",
+        "pretrain_acc": round(acc, 3),
+        "pretrain_seconds": round(pre_s, 1),
+        "detection": "single-scale resnet34 on tests/data/real_coco",
+        "det_steps": det_steps, "eval_every": eval_every}}
+    if os.path.exists(out_path):
+        results.update(json.load(open(out_path)))
+    variants = {
+        "random_init": dict(),
+        "imported_init": dict(torch_sd=torch_sd),
+        "random_frozen": dict(freeze_backbone=True),
+        "imported_frozen": dict(torch_sd=torch_sd, freeze_backbone=True),
     }
-    with open(os.path.join(ROOT, "ABLATE_TRANSFER.json"), "w") as f:
-        json.dump(results, f, indent=2)
+    for name, kw in variants.items():
+        if name in results:
+            print(f"=== {name}: already recorded, skipping ===", flush=True)
+            continue
+        results[name] = finetune(name, cfg, det_steps, eval_every, **kw)
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=2)
     print(json.dumps(results))
 
 

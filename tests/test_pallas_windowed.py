@@ -110,3 +110,51 @@ def test_fpn_head_uses_kernel_when_forced(rng):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(scores_on), np.asarray(scores_off),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_hybrid_batched_matches_vmapped_hybrid(rng):
+    """Batched hybrid (value + pyramid gradient) == vmapped per-image
+    hybrid — the train path swap is numerics-neutral."""
+    from two_stage_object_detection_tpu.ops.roi_pool import (
+        multilevel_roi_align_hybrid, multilevel_roi_align_hybrid_batched)
+
+    pyr, rois, levels = _data(rng, b=2, r=8, c=128)
+
+    def loss_batched(p0):
+        out = multilevel_roi_align_hybrid_batched(
+            (p0,) + tuple(pyr[1:]), rois, levels, SCALES, 7, 2, 32, False,
+            False)
+        return jnp.sum(out ** 2)
+
+    def loss_vmapped(p0):
+        out = jax.vmap(lambda pi, ri, li: multilevel_roi_align_hybrid(
+            pi, ri, li, SCALES, 7, 2, 32, False))(
+                (p0,) + tuple(pyr[1:]), rois, levels)
+        return jnp.sum(out ** 2)
+
+    vb, gb = jax.value_and_grad(loss_batched)(pyr[0])
+    vv, gv = jax.value_and_grad(loss_vmapped)(pyr[0])
+    np.testing.assert_allclose(float(vb), float(vv), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gv),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_hybrid_batched_pallas_forward_matches(rng):
+    """use_pallas=True (interpreted on CPU): same value, same dense
+    backward."""
+    from two_stage_object_detection_tpu.ops.roi_pool import (
+        multilevel_roi_align_hybrid_batched)
+
+    pyr, rois, levels = _data(rng, b=2, r=8, c=128)
+
+    def loss(p0, use_pallas):
+        out = multilevel_roi_align_hybrid_batched(
+            (p0,) + tuple(pyr[1:]), rois, levels, SCALES, 7, 2, 32, False,
+            use_pallas)
+        return jnp.sum(out ** 2)
+
+    vp, gp = jax.value_and_grad(lambda p0: loss(p0, True))(pyr[0])
+    vx, gx = jax.value_and_grad(lambda p0: loss(p0, False))(pyr[0])
+    np.testing.assert_allclose(float(vp), float(vx), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                               rtol=1e-4, atol=1e-4)

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from two_stage_object_detection_tpu.ops.roi_pool import (
-    multilevel_roi_align, multilevel_roi_align_hybrid, roi_align_mm)
+    multilevel_roi_align, multilevel_roi_align_hybrid_batched, roi_align_mm)
 
 Dtype = Any
 
@@ -220,34 +220,40 @@ class FPNRoIHead(nn.Module):
                         r_i, l_i - self.min_level, scales,
                         float(self.window - 2)))(rois, levels)
             c_feat = pyramid[0].shape[-1]
-            # Pallas kernel (predict only — it is forward-only by design):
-            # in-kernel window DMA + one K=win*win_x MXU matmul per roi,
+            # Pallas window-DMA kernel (ops/pallas_windowed_align.py):
             # measured 29.8 -> 12.1 ms at fpn-infer scale (v5e, b16 R300
-            # C256).  C must fill the 128-lane tile; CPU runs the XLA form.
-            # backend gate matches detector._use_pallas: anything but CPU
-            # (the axon plugin reports its own platform name for the TPU)
-            use_kernel = (use_window and c_feat % 128 == 0
-                          and self.pallas != "off"
-                          and (self.pallas == "on"
-                               or jax.default_backend() != "cpu"))
-            if use_kernel:
-                from two_stage_object_detection_tpu.ops.pallas_windowed_align \
-                    import windowed_roi_align_batched
-                pooled = windowed_roi_align_batched(
+            # C256).  Serves predict directly and the hybrid TRAIN forward
+            # (forward-only is fine under the custom_vjp).  C must fill
+            # the 128-lane tile; CPU backends run the XLA form (backend
+            # gate matches detector._use_pallas — the axon plugin reports
+            # its own platform name for the TPU).
+            kernel_ok = (c_feat % 128 == 0 and self.pallas != "off"
+                         and (self.pallas == "on"
+                              or jax.default_backend() != "cpu"))
+            if use_window:
+                if kernel_ok:
+                    from two_stage_object_detection_tpu.ops. \
+                        pallas_windowed_align import windowed_roi_align_batched
+                    pooled = windowed_roi_align_batched(
+                        tuple(pyramid[:self.n_pool_levels]), rois,
+                        levels - self.min_level, scales, self.roi_size, 2,
+                        self.window, False,
+                        # pallas="on" under a CPU backend: interpreted (tests)
+                        interpret=jax.default_backend() == "cpu")
+                else:
+                    pooled = jax.vmap(
+                        lambda pyr_i, rois_i, lv_i: multilevel_roi_align(
+                            pyr_i, rois_i, lv_i - self.min_level, scales,
+                            self.roi_size, 2, self.window, False)
+                    )(tuple(pyramid[:self.n_pool_levels]), rois, levels)
+            else:
+                # train path: hybrid (windowed forward — the Pallas kernel
+                # when eligible, forward-only is fine under a custom_vjp —
+                # with the dense matmul backward)
+                pooled = multilevel_roi_align_hybrid_batched(
                     tuple(pyramid[:self.n_pool_levels]), rois,
                     levels - self.min_level, scales, self.roi_size, 2,
-                    self.window, False,
-                    # pallas="on" under a CPU backend: interpreted (tests)
-                    interpret=jax.default_backend() == "cpu")
-            else:
-                pool_fn = (multilevel_roi_align if use_window
-                           else multilevel_roi_align_hybrid)
-                pooled = jax.vmap(
-                    # positional: custom_vjp + nondiff_argnums forbids kwargs
-                    lambda pyr_i, rois_i, lv_i: pool_fn(
-                        pyr_i, rois_i, lv_i - self.min_level, scales,
-                        self.roi_size, 2, self.window, False)
-                )(tuple(pyramid[:self.n_pool_levels]), rois, levels)
+                    self.window, False, kernel_ok)
         else:
             onehot = jax.nn.one_hot(
                 levels - self.min_level, self.n_pool_levels,

@@ -411,6 +411,77 @@ def _ml_hybrid_bwd(scales, output_size, sampling_ratio, window, aligned,
 multilevel_roi_align_hybrid.defvjp(_ml_hybrid_fwd, _ml_hybrid_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def multilevel_roi_align_hybrid_batched(pyramid, rois: jnp.ndarray,
+                                        levels: jnp.ndarray, scales,
+                                        output_size: int = 7,
+                                        sampling_ratio: int = 2,
+                                        window: int = 32,
+                                        aligned: bool = False,
+                                        use_pallas: bool = False):
+    """Batched :func:`multilevel_roi_align_hybrid`: same trade (windowed
+    forward, dense matmul backward), whole batch at once.
+
+    ``use_pallas=True`` runs the forward through the Pallas window-DMA
+    kernel (``ops/pallas_windowed_align.py``) — legal inside a train step
+    precisely because this custom_vjp supplies the backward itself (the
+    kernel is forward-only).  ``pyramid``: per-level ``[B, H, W, C]``;
+    ``rois [B, R, 4]``; ``levels [B, R]``.
+    """
+    return _ml_batched_fwd_value(pyramid, rois, levels, scales, output_size,
+                                 sampling_ratio, window, aligned, use_pallas)
+
+
+def _ml_batched_fwd_value(pyramid, rois, levels, scales, output_size,
+                          sampling_ratio, window, aligned, use_pallas):
+    if use_pallas:
+        from two_stage_object_detection_tpu.ops.pallas_windowed_align import (
+            windowed_roi_align_batched)
+        return windowed_roi_align_batched(
+            tuple(pyramid), rois, levels, scales, output_size,
+            sampling_ratio, window, aligned,
+            interpret=jax.default_backend() == "cpu")
+    return jax.vmap(lambda pyr_i, rois_i, lv_i: multilevel_roi_align(
+        pyr_i, rois_i, lv_i, scales, output_size, sampling_ratio, window,
+        aligned))(tuple(pyramid), rois, levels)
+
+
+def _ml_batched_hybrid_fwd(pyramid, rois, levels, scales, output_size,
+                           sampling_ratio, window, aligned, use_pallas):
+    out = _ml_batched_fwd_value(pyramid, rois, levels, scales, output_size,
+                                sampling_ratio, window, aligned, use_pallas)
+    return out, (pyramid, rois, levels)
+
+
+def _ml_batched_hybrid_bwd(scales, output_size, sampling_ratio, window,
+                           aligned, use_pallas, res, g):
+    """Batched form of :func:`_ml_hybrid_bwd`: two einsums per level with a
+    batch axis — identical math, one XLA program for the whole batch."""
+    pyramid, rois, levels = res
+    p, s = output_size, sampling_ratio
+    sc = _norm_scales(scales, len(pyramid))
+    d_pyr = []
+    for li, f in enumerate(pyramid):
+        _, h, w, _ = f.shape
+        dt = f.dtype
+        sy, sx = sc[li]
+        wy, wx = jax.vmap(lambda r: _level_align_weights(
+            r, sy, sx, p, s, h, w, aligned))(rois)        # [B,R,P,H/W]
+        gm = jnp.where((levels == li)[..., None, None, None], g, 0).astype(dt)
+        t = jnp.einsum("brqw,brpqc->brpwc", wx.astype(dt), gm)
+        df = jnp.einsum("brph,brpwc->bhwc", wy.astype(dt), t)
+        d_pyr.append(df.astype(f.dtype))
+    d_pyr = (tuple(d_pyr) if isinstance(pyramid, tuple) else
+             jax.tree_util.tree_unflatten(
+                 jax.tree_util.tree_structure(pyramid), d_pyr))
+    d_levels = np.zeros(levels.shape, dtype=jax.dtypes.float0)
+    return d_pyr, jnp.zeros_like(rois), d_levels
+
+
+multilevel_roi_align_hybrid_batched.defvjp(_ml_batched_hybrid_fwd,
+                                           _ml_batched_hybrid_bwd)
+
+
 def _windowed_prologue(pyramid, rois: jnp.ndarray, levels: jnp.ndarray,
                        scales, p: int, s: int, win: int, aligned: bool,
                        win_x: int = None, x_quant: int = 1):
