@@ -4,8 +4,8 @@
 The compile-cache module's whole justification (utils/compile_cache.py) is
 that a restarted process — server redeploy, preemption resume, cron re-run
 — skips XLA compilation entirely.  This script measures it: two child
-processes against the SAME fresh cache directory run the flagship jitted
-predict (hardnet39, 600x600) to first result; the first pays the real
+processes against the SAME fresh cache directory run the default-config
+jitted predict (hardnet39, 600x600) to first result; the first pays the real
 compile, the second loads the program from disk.  Writes the ``coldstart``
 row into BENCH_DETAILS.json.
 
@@ -66,8 +66,8 @@ def main(batch: int = 16) -> None:
         print(f"{phase}: {row}", flush=True)
 
     detail = {
-        "what": "process start to first jitted predict (flagship hardnet39 "
-                "600x600), cold vs warm persistent compile cache",
+        "what": "process start to first jitted predict (hardnet39 default "
+                "config, 600x600), cold vs warm persistent compile cache",
         "batch": batch,
         "cold": runs["cold"],
         "warm": runs["warm"],
