@@ -449,10 +449,16 @@ def bench_serve(batches=(1, 2, 4, 8, 16, 32, 64)):
     runtime would mostly measure the ~30 ms host roundtrip).
 
     ``BENCH_BACKBONE``/``BENCH_ROI`` select the fast-recipe variant; the
-    result then lands under the ``serve_fast`` key."""
+    result then lands under the ``serve_fast`` key.  ``BENCH_FPN=1``
+    serves the round-5 flagship (FPN + BENCH_BACKBONE-or-resnet50) under
+    ``serve_fpn_{backbone}``."""
     from two_stage_object_detection_tpu.config import Config
     cfg = Config()
-    if os.environ.get("BENCH_BACKBONE"):
+    if os.environ.get("BENCH_FPN") == "1":
+        cfg = cfg.replace(fpn=True,
+                          backbone=os.environ.get("BENCH_BACKBONE",
+                                                  "resnet50"))
+    elif os.environ.get("BENCH_BACKBONE"):
         cfg = cfg.replace(backbone=os.environ["BENCH_BACKBONE"])
     if os.environ.get("BENCH_ROI"):
         cfg = cfg.replace(roi_pool_mode=os.environ["BENCH_ROI"])
@@ -679,9 +685,12 @@ def main():
         bb = os.environ.get("BENCH_BACKBONE")
         # hardnet39s(+align) is THE fast recipe -> serve_fast (back-compat);
         # any other backbone records under its own serve_{backbone} key
-        key = ("serve" if not (bb or os.environ.get("BENCH_ROI"))
-               else "serve_fast" if bb in (None, "hardnet39s")
-               else f"serve_{bb}")
+        if os.environ.get("BENCH_FPN") == "1":
+            key = f"serve_fpn_{bb or 'resnet50'}"
+        else:
+            key = ("serve" if not (bb or os.environ.get("BENCH_ROI"))
+                   else "serve_fast" if bb in (None, "hardnet39s")
+                   else f"serve_{bb}")
         batches = tuple(int(b) for b in os.environ.get(
             "BENCH_SERVE_BATCHES", "1,2,4,8,16,32,64").split(","))
         results[key] = bench_serve(batches)

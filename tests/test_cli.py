@@ -144,3 +144,20 @@ def test_compile_cache_enable(tmp_path):
                           prev_bytes)
         from jax._src import compilation_cache as _cc
         _cc.reset_cache()       # re-point the singleton back at prev_dir
+
+
+def test_flagship_preset_applies_and_set_overrides():
+    """--flagship = FPN + resnet50 + loc_normalize; --set wins on top."""
+    import argparse
+
+    from two_stage_object_detection_tpu.__main__ import _load_cfg
+
+    args = argparse.Namespace(config=None, set=None, compile_cache=None,
+                              flagship=True)
+    cfg = _load_cfg(args)
+    assert cfg.fpn and cfg.backbone == "resnet50" and cfg.loc_normalize
+
+    args = argparse.Namespace(config=None, set=["backbone=resnet34"],
+                              compile_cache=None, flagship=True)
+    cfg = _load_cfg(args)
+    assert cfg.fpn and cfg.backbone == "resnet34"

@@ -55,6 +55,10 @@ def _parse_override(cfg: Config, kv: str):
 
 def _load_cfg(args) -> Config:
     cfg = load_config(getattr(args, "config", None))
+    if getattr(args, "flagship", False):
+        # the round-5 recommended production recipe (see docs/DESIGN.md
+        # "Round 5: flagship promotion"); --set still overrides on top
+        cfg = cfg.replace(fpn=True, backbone="resnet50", loc_normalize=True)
     overrides = dict(_parse_override(cfg, kv)
                      for kv in (getattr(args, "set", None) or []))
     if getattr(args, "compile_cache", None):
@@ -69,6 +73,10 @@ def _add_common(p: argparse.ArgumentParser):
                    help="config.json path (reference key surface)")
     p.add_argument("--set", action="append", metavar="KEY=VALUE",
                    help="override any Config field (repeatable)")
+    p.add_argument("--flagship", action="store_true",
+                   help="use the recommended production preset: FPN + "
+                        "resnet50 + loc_normalize (428 img/s batched "
+                        "inference on v5e; --set overrides on top)")
     p.add_argument("--compile-cache", default=None, metavar="DIR",
                    help="persistent XLA compilation cache directory")
     p.add_argument("--data-root", default="data")
